@@ -1,0 +1,54 @@
+"""Tangent-space operator materialization via batched transforms.
+
+Replaces the reference's sequential loops
+(``selfadj_operator2matrix``/``operator2matrix``/``tangent2vec``,
+``/root/reference/src/solver/utils.py:532-580``): a dim x dim representing
+matrix is built with ONE ``vmap`` over coordinate directions (dim batched
+HVPs) followed by one batched projection — two MXU-friendly batched ops
+instead of O(dim^2) sequential inner products.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def materialize(manifold, x, basis, op):
+    """Dense matrix A with A[i, j] = <basis_i, op(basis_j)>_x.
+
+    ``op`` maps tangent pytrees to tangent pytrees.  The result represents
+    ``op`` in metric-orthonormal coordinates (Gram matrix = I).
+    """
+    dim = manifold.dim
+    eye = jnp.eye(dim)
+
+    def column(e):
+        return manifold.to_coords(x, basis, op(manifold.from_coords(x, basis, e)))
+
+    return jax.vmap(column)(eye).T  # columns j = op(basis_j) in coords
+
+
+def materialize_symmetrized(manifold, x, basis, op):
+    """As ``materialize`` but symmetrized, for self-adjoint operators whose
+    numerical representation may be slightly asymmetric
+    (reference ``selfadj_operator2matrix``, ``utils.py:565-573``)."""
+    a = materialize(manifold, x, basis, op)
+    return 0.5 * (a + a.T)
+
+
+def covector(manifold, x, basis, v):
+    """Coordinates of a tangent vector v (reference ``tangent2vec``,
+    ``utils.py:575-580``)."""
+    return manifold.to_coords(x, basis, v)
+
+
+def rows_to_matrix(manifold, x, basis, vectors_fn, m):
+    """Matrix G with G[i, :] = coords of the i-th of m tangent vectors.
+
+    ``vectors_fn(i)`` -> tangent pytree.  Used for constraint-gradient
+    matrices (RSQO / second-order-residual callback).
+    """
+    return jax.vmap(lambda i: manifold.to_coords(x, basis, vectors_fn(i)))(
+        jnp.arange(m)
+    )

@@ -1,0 +1,85 @@
+"""Nonnegative PCA: max x^T Z x on the sphere S^{n-1} with x >= 0.
+
+Parity targets: ``/root/reference/src/NonnegPCA/coordinator.py`` (cost
+:52-55, constraints :66-77, manifold :41), ``generator.py`` (spiked Z :9-31,
+initial points :34-54, dual init :57-65) and ``simulator.py`` (sphere
+manifold-violation ||x|| - 1, :12-14).
+
+TPU-first: the n per-element constraints are one stacked function
+g(x) = -x, so all constraint derivatives are trivial index-free tensor ops.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from riptrm_tpu.manifolds import Sphere
+from riptrm_tpu.problems.problem import Problem
+from riptrm_tpu.utils.io import loadtxt
+
+
+def make_problem(Z, x0, y0=None, dtype=None) -> Problem:
+    Z = jnp.asarray(Z, dtype=dtype)
+    x0 = jnp.asarray(x0, dtype=dtype)
+    n = Z.shape[0]
+    man = Sphere(n)
+    if y0 is None:
+        y0 = jnp.ones((n,), dtype=x0.dtype)
+    else:
+        y0 = jnp.asarray(y0, dtype=x0.dtype)
+
+    def cost(x):
+        return -(x @ (Z @ x))
+
+    def ineq(x):
+        return -x  # feasible: x >= 0
+
+    def manvio(x):
+        return jnp.linalg.norm(x) - 1.0
+
+    return Problem(
+        manifold=man,
+        cost=cost,
+        ineq=ineq,
+        x0=x0,
+        y0=y0,
+        z0=jnp.zeros((0,), dtype=x0.dtype),
+        num_ineq=n,
+        num_eq=0,
+        manvio=manvio,
+    )
+
+
+def load_problem(dataset_path: str, initialpoint: str = "a", dtype=None) -> Problem:
+    """Load a shipped instance (reference ``coordinator.py:17-99``)."""
+    Z = loadtxt(f"{dataset_path}/Z.csv")
+    x0 = loadtxt(f"{dataset_path}/initx_{initialpoint}.csv")
+    y0 = loadtxt(f"{dataset_path}/initineqLagmult.csv")
+    return make_problem(Z, x0, y0, dtype=dtype)
+
+
+def generate_instance(key, dim: int, snr: float = 0.5, delta: float = 0.7):
+    """Spiked-covariance instance (reference ``generator.py:9-31``).
+
+    Returns dict of arrays matching the dataset CSV contract.
+    """
+    k1, k2, k3 = jax.random.split(key, 3)
+    samplesize = int(np.floor(delta * dim))
+    s = jax.random.choice(k1, dim, (samplesize,), replace=False)
+    v = jnp.zeros((dim,)).at[s].set(1.0 / np.sqrt(samplesize))
+    noise = jax.random.normal(k2, (dim, dim)) / np.sqrt(dim)
+    diag_noise = jax.random.normal(k3, (dim,)) * 2.0 / np.sqrt(dim)
+    noise = noise.at[jnp.arange(dim), jnp.arange(dim)].set(diag_noise)
+    z = jnp.sqrt(snr) * jnp.outer(v, v) + noise
+    return {"dim": np.array([[dim]]), "Z": np.asarray(z)}
+
+
+def generate_initialpoint(key, dim: int, feasible: bool = True):
+    """Random unit-norm initial point (reference ``generator.py:34-54``)."""
+    x0 = jax.random.uniform(key, (dim,))
+    x0 = x0 / jnp.linalg.norm(x0)
+    if feasible:
+        x0 = jnp.abs(x0)
+    return np.asarray(x0)

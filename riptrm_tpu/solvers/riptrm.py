@@ -1,0 +1,593 @@
+"""RIPTRM: Riemannian primal-dual Interior Point Trust-Region Method.
+
+TPU-native re-design of the paper's solver
+(``/root/reference/src/solver/RIPTRM.py``, arXiv:2501.15419).  Algorithmic
+parity targets (file:line into /root/reference):
+
+* barrier-KKT operator assembly   RIPTRM.py:707-745
+* tCG / exact TRS direction       RIPTRM.py:426-455 (tCG: :41-216, gep TRS: :218-299)
+* inner stopping criteria         RIPTRM.py:574-629
+* ared/pred TR + dual clipping    RIPTRM.py:631-705
+* inner budget reset semantics    RIPTRM.py:785-847
+* outer barrier schedule          RIPTRM.py:866-896
+
+TPU-first design decisions:
+* The inner x outer loop nest is flattened into ONE pure ``step``: an inner
+  trust-region iteration whose "converged" branch also applies the outer
+  barrier-parameter update.  The same step powers (a) a host-driven runner
+  with the reference's wall-clock protocol and (b) a fully-compiled
+  ``lax.while_loop`` solve that can be ``vmap``-ed over initial points.
+* All constraint work is stacked: the condensed barrier Hessian
+  Hw(dx) = Hess_x L[dx] + Gx(y * Gxaj(dx) / c) costs one jvp-of-grad plus
+  one jvp and one vjp of the stacked constraint function, independent of m.
+* Exact mode materializes Hw with one batched vmap over the deterministic
+  tangent basis and solves the TRS by symmetric eigendecomposition
+  (``ops/trs.py``) instead of a 2n x 2n generalized nonsymmetric
+  eigenproblem, which has no TPU kernel.
+* Branching (converged / infeasible / accept / reject) is data-dependent and
+  expressed with ``lax.cond``/``jnp.where`` so the whole step is one XLA
+  program.
+"""
+
+from __future__ import annotations
+
+import copy
+import time
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from riptrm_tpu.ops.basis import materialize_symmetrized
+from riptrm_tpu.ops.kkt import evaluation
+from riptrm_tpu.ops.tcg import truncated_cg
+from riptrm_tpu.ops.trs import solve_trs
+from riptrm_tpu.solvers.base import (
+    LogAccumulator,
+    Output,
+    WallClock,
+    maybe_wandb_finish,
+    maybe_wandb_init,
+    maybe_wandb_log,
+    merge_options,
+)
+
+# inner_status codes
+INNER_INITIAL = 0
+INNER_CONVERGED = 1
+INNER_SUCCESSFUL = 2
+INNER_UNSUCCESSFUL = 3
+INNER_PRIMAL_INFEASIBLE = 4
+INNER_MAX_TIME = 5
+INNER_MAX_ITER = 6
+
+INNER_STATUS_NAMES = {
+    INNER_INITIAL: "initial",
+    INNER_CONVERGED: "converged",
+    INNER_SUCCESSFUL: "successful",
+    INNER_UNSUCCESSFUL: "unsuccessful",
+    INNER_PRIMAL_INFEASIBLE: "primal_infeasible",
+    INNER_MAX_TIME: "max-time-exceeded",
+    INNER_MAX_ITER: "max-iter-exceeded",
+}
+
+RADIUS_NAMES = {-1: None, 0: "unchanged", 1: "reduced", 2: "expanded"}
+TCG_NAMES = {
+    0: "tCG_MAX_INNER_ITER",
+    1: "tCG_NEGATIVE_CURVATURE",
+    2: "tCG_EXCEEDED_TR",
+    3: "tCG_MODEL_INCREASED",
+    4: "tCG_REACHED_TARGET_LINEAR",
+    5: "tCG_REACHED_TARGET_SUPERLINEAR",
+}
+TRS_NAMES = {0: "interior", 1: "boundary", 2: "hardcase"}
+
+
+def default_option():
+    """Defaults mirroring ``RIPTRM.py:305-358``."""
+    return {
+        "maxtime": 240,
+        "maxiter": 100,
+        "tolresid": 1e-15,
+        "inner_maxiter": None,
+        "inner_maxtime": None,
+        "initial_TR_radius": None,
+        "minimal_initial_TR_radius": 1e-15,
+        "maximal_TR_radius": 10.0,
+        "rho": 0.1,
+        "reduction_regularization": 1e3,
+        "gamma": 0.25,
+        "forcing_function_Lagrangian": lambda mu: jnp.maximum(mu, 1e-14),
+        "forcing_function_complementarity": lambda mu: jnp.maximum(1e-3 * mu, 1e-14),
+        "forcing_function_second_order": lambda mu: mu,
+        "min_barrier_parameter": 1e-15,
+        "TRS_solver": "Exact_RepMat",  # or 'tCG'
+        "second_order_stationarity": True,
+        "TRS_tolhardcase": 1e-8,
+        "tCG_theta": 1.0,
+        "tCG_kappa": 0.1,
+        "tCG_mininner": 1,
+        "initial_barrier_parameter": 0.1,
+        "barrier_parameter_update_r": 0.01,
+        "barrier_parameter_update_c": 0.5,
+        "barrier_parameter_update_b": 0.8,
+        "do_simple_barrier_parameter_update": True,
+        "const_left": 0.5,
+        "const_right": 1e20,
+        "verbosity": 0,
+        "save_inner_iteration": True,
+        "wandb_logging": False,
+        "do_exit_on_error": True,
+    }
+
+
+class RiptrmState(NamedTuple):
+    x: object
+    y: jnp.ndarray
+    mu: jnp.ndarray
+    tr_radius: jnp.ndarray
+    outer_iter: jnp.ndarray  # completed outer iterations
+    inner_count: jnp.ndarray  # inner iterations inside current outer step
+    # Inner-loop initial values, for budget-exceeded resets (RIPTRM.py:828-842)
+    inner_x0: object
+    inner_y0: jnp.ndarray
+    inner_tr0: jnp.ndarray
+    # Exact-mode cache of the materialized Hw / cx at the current point
+    # (reference ``is_RepMat_available`` machinery, RIPTRM.py:406-424,677-704)
+    cache_valid: jnp.ndarray
+    h_mat: jnp.ndarray  # [dim, dim]
+    c_vec: jnp.ndarray  # [dim]
+
+
+def _barrier_ops(problem, x, y, mu):
+    """Condensed barrier-KKT operator pieces at (x, y, mu)
+    (``RIPTRM.py:727-730``)."""
+    c = problem.slack(x)
+
+    def hw(dx):
+        lag = problem.lag_rhess(x, y, dx)
+        bar = problem.gx(x, (y * problem.gx_adj(x, dx)) / c)
+        return jax.tree.map(lambda a, b: a + b, lag, bar)
+
+    cx_vec = jax.tree.map(
+        lambda a, b: a - b, problem.rgrad(x), problem.gx(x, mu / c)
+    )
+    return c, hw, cx_vec
+
+
+def _log_barrier(problem, x, mu):
+    """phi(x) = f(x) - mu * sum log c(x) (``RIPTRM.py:644-649``); guarded so
+    the value is finite garbage (never NaN) at infeasible points — callers
+    only use it on feasible branches."""
+    c = problem.slack(x)
+    safe_c = jnp.where(c > 0, c, 1.0)
+    return problem.cost(x) + -mu * jnp.sum(jnp.log(safe_c))
+
+
+def make_step(problem, option):
+    """Build the pure inner-step function.  Static: problem, option."""
+    man = problem.manifold
+    dim = man.dim
+    exact = option["TRS_solver"] == "Exact_RepMat"
+    second_order = option["second_order_stationarity"]
+    ff_lag = option["forcing_function_Lagrangian"]
+    ff_compl = option["forcing_function_complementarity"]
+    ff_second = option["forcing_function_second_order"]
+    inner_maxiter = option["inner_maxiter"]
+
+    def materialize_at(x, y, mu):
+        basis = man.basis(x)
+        c, hw, cx = _barrier_ops(problem, x, y, mu)
+        h_mat = materialize_symmetrized(man, x, basis, hw)
+        c_vec = man.to_coords(x, basis, cx)
+        return h_mat, c_vec
+
+    def outer_update(mu):
+        """Barrier parameter schedule (``RIPTRM.py:890-893``)."""
+        r = option["barrier_parameter_update_r"]
+        cc = option["barrier_parameter_update_c"]
+        b = option["barrier_parameter_update_b"]
+        mu_min = option["min_barrier_parameter"]
+        simple = cc * mu ** (1.0 + r)
+        if option["do_simple_barrier_parameter_update"]:
+            return jnp.maximum(mu_min, simple)
+        return jnp.maximum(mu_min, jnp.minimum(b * mu, simple))
+
+    def step(state: RiptrmState):
+        x, y, mu, tr_radius = state.x, state.y, state.mu, state.tr_radius
+        c, hw, cx = _barrier_ops(problem, x, y, mu)
+
+        # ---- direction (RIPTRM.py:426-455) -----------------------------
+        if exact:
+            h_mat, c_vec = jax.lax.cond(
+                state.cache_valid,
+                lambda: (state.h_mat, state.c_vec),
+                lambda: materialize_at(x, y, mu),
+            )
+            basis = man.basis(x)
+            coeff, lam1, trs_code = solve_trs(h_mat, c_vec, tr_radius)
+            dx = man.from_coords(x, basis, coeff)
+            hw_dx_dx = coeff @ (h_mat @ coeff)
+            cx_dx = c_vec @ coeff
+            dxtype = trs_code
+        else:
+            dx, h_dx, tcg_iters, tcg_code = truncated_cg(
+                man,
+                x,
+                hw,
+                cx,
+                tr_radius,
+                theta=option["tCG_theta"],
+                kappa=option["tCG_kappa"],
+                mininner=option["tCG_mininner"],
+                maxinner=dim,
+            )
+            hw_dx_dx = man.inner(x, dx, h_dx)
+            cx_dx = man.inner(x, cx, dx)
+            dxtype = 10 + tcg_code
+            h_mat, c_vec = state.h_mat, state.c_vec
+
+        normdx = man.norm(x, dx)
+
+        # ---- trial point (RIPTRM.py:743-745) ---------------------------
+        dy = -y + mu / c - y * problem.gx_adj(x, dx) / c
+        x_new = man.retract(x, dx)
+        y_new = y + dy
+        c_new = problem.slack(x_new)
+
+        # ---- inner stopping criteria (RIPTRM.py:574-629) ---------------
+        xfeas = jnp.all(c_new > 0)
+        yfeas = jnp.all(y_new > 0)
+        norm_grad_lag = man.norm(x_new, problem.lag_rgrad(x_new, y_new))
+        compl = jnp.linalg.norm(y_new * c_new - mu)
+        crit_lag = norm_grad_lag <= ff_lag(mu)
+        crit_compl = compl <= ff_compl(mu)
+
+        if exact and second_order:
+            h_mat_new, c_vec_new = materialize_at(x_new, y_new, mu)
+            mineig = jnp.linalg.eigvalsh(h_mat_new)[0]
+            crit_eig = mineig >= -ff_second(mu)
+        else:
+            h_mat_new, c_vec_new = h_mat, c_vec
+            mineig = jnp.asarray(jnp.nan, dtype=normdx.dtype)
+            crit_eig = jnp.asarray(True)
+
+        converged = xfeas & yfeas & crit_lag & crit_compl & crit_eig
+        infeasible = (~converged) & (~xfeas)
+
+        # ---- ared / pred and radius update (RIPTRM.py:631-705) ---------
+        phi_cur = _log_barrier(problem, x, mu)
+        phi_new = _log_barrier(problem, x_new, mu)
+        red_reg = (
+            jnp.maximum(1.0, jnp.abs(phi_cur))
+            * jnp.finfo(normdx.dtype).eps
+            * option["reduction_regularization"]
+        )
+        ared = phi_cur - phi_new + red_reg
+        pred = -0.5 * hw_dx_dx - cx_dx + red_reg
+
+        shrink = ared < 0.25 * pred
+        expand = (ared >= 0.75 * pred) & (jnp.abs(normdx - tr_radius) <= 1e-15)
+        tr_updated = jnp.where(
+            shrink,
+            0.25 * tr_radius,
+            jnp.where(
+                expand, jnp.minimum(2.0 * tr_radius, option["maximal_TR_radius"]), tr_radius
+            ),
+        )
+        radius_update_code = jnp.where(shrink, 1, jnp.where(expand, 2, 0))
+        accepted = ared > option["rho"] * pred
+
+        # dual clipping (RIPTRM.py:681-696); I_right reproduces the reference's
+        # np.maximum(a, b, out) semantics: a scalar max broadcast to all i.
+        safe_c_new = jnp.where(c_new > 0, c_new, 1.0)
+        i_left = option["const_left"] * jnp.minimum(jnp.minimum(y, mu / safe_c_new), 1.0)
+        i_right = jnp.maximum(option["const_right"], option["const_right"] / mu)
+        y_clipped = jnp.minimum(jnp.maximum(y_new, i_left), i_right)
+        dual_clipping = ~jnp.all(y_new == y_clipped)
+
+        # ---- combine branches ------------------------------------------
+        status = jnp.where(
+            converged,
+            INNER_CONVERGED,
+            jnp.where(
+                infeasible,
+                INNER_PRIMAL_INFEASIBLE,
+                jnp.where(accepted, INNER_SUCCESSFUL, INNER_UNSUCCESSFUL),
+            ),
+        )
+
+        take_new_x = converged | ((~infeasible) & accepted)
+
+        def select_point(new, old):
+            return jax.tree.map(
+                lambda n, o: jnp.where(take_new_x, n, o), new, old
+            )
+
+        x_next = select_point(x_new, x)
+        y_next = jnp.where(
+            converged, y_new, jnp.where((~infeasible) & accepted, y_clipped, y)
+        )
+        tr_next = jnp.where(
+            converged,
+            tr_radius,
+            jnp.where(infeasible, option["gamma"] * normdx, tr_updated),
+        )
+
+        # Cache management (reference RIPTRM.py:677-704): keep the cache on
+        # rejected steps; move the xNew materialization into the cache on
+        # un-clipped accepts (exact+2nd-order mode); otherwise invalidate.
+        if exact:
+            reuse_new = (~infeasible) & accepted & (~dual_clipping) & second_order
+            keep_old = infeasible | ((~converged) & (~accepted))
+            cache_valid = keep_old | reuse_new
+            h_mat_next = jnp.where(reuse_new, h_mat_new, h_mat)
+            c_vec_next = jnp.where(reuse_new, c_vec_new, c_vec)
+        else:
+            cache_valid = jnp.asarray(False)
+            h_mat_next, c_vec_next = h_mat, c_vec
+
+        inner_count = state.inner_count + 1
+
+        # inner_maxiter budget (RIPTRM.py:835-842): reset to the inner-loop
+        # initial values and force an outer transition.
+        if inner_maxiter is not None:
+            forced = (~converged) & (inner_count >= inner_maxiter)
+        else:
+            forced = jnp.asarray(False)
+        exit_inner = converged | forced
+
+        x_next = jax.tree.map(
+            lambda n, o: jnp.where(forced, o, n), x_next, state.inner_x0
+        )
+        y_next = jnp.where(forced, state.inner_y0, y_next)
+        tr_next = jnp.where(forced, state.inner_tr0, tr_next)
+        status = jnp.where(forced, INNER_MAX_ITER, status)
+
+        # ---- outer transition on inner exit (RIPTRM.py:866-896) --------
+        mu_next = jnp.where(exit_inner, outer_update(mu), mu)
+        tr_next = jnp.where(
+            exit_inner,
+            jnp.maximum(tr_next, option["minimal_initial_TR_radius"]),
+            tr_next,
+        )
+        outer_iter = state.outer_iter + jnp.where(exit_inner, 1, 0)
+        inner_count = jnp.where(exit_inner, 0, inner_count)
+        inner_x0 = jax.tree.map(
+            lambda n, o: jnp.where(exit_inner, n, o), x_next, state.inner_x0
+        )
+        inner_y0 = jnp.where(exit_inner, y_next, state.inner_y0)
+        inner_tr0 = jnp.where(exit_inner, tr_next, state.inner_tr0)
+        cache_valid = cache_valid & ~exit_inner
+
+        new_state = RiptrmState(
+            x=x_next,
+            y=y_next,
+            mu=mu_next,
+            tr_radius=tr_next,
+            outer_iter=outer_iter,
+            inner_count=inner_count,
+            inner_x0=inner_x0,
+            inner_y0=inner_y0,
+            inner_tr0=inner_tr0,
+            cache_valid=cache_valid,
+            h_mat=h_mat_next,
+            c_vec=c_vec_next,
+        )
+
+        ev = evaluation(problem, x, x_next, y_next, jnp.zeros((0,)))
+        info = dict(ev)
+        info.update(
+            mu=mu,  # mu of the step that was just taken
+            inner_status=status,
+            num_inner=state.inner_count + 1,
+            TR_radius=tr_radius,  # radius used this step (pre-update)
+            dxtype=dxtype,
+            normdx=normdx,
+            minxfeasi=jnp.min(c_new) if problem.has_ineq else jnp.asarray(jnp.inf),
+            minyfeasi=jnp.min(y_new) if problem.has_ineq else jnp.asarray(jnp.inf),
+            compl=compl,
+            mineigvalHw=mineig,
+            ared_pred=ared / pred,
+            radius_update=jnp.where(
+                converged | infeasible | forced, -1, radius_update_code
+            ),
+            dual_clipping=jnp.where(
+                converged | infeasible | forced,
+                -1,
+                jnp.where(accepted, dual_clipping.astype(jnp.int32), -1),
+            ),
+            maxabsLagmult=jnp.max(jnp.abs(y_next)) if problem.has_ineq else jnp.asarray(0.0),
+            converged=converged,
+            exit_inner=exit_inner,
+        )
+        return new_state, info
+
+    return step
+
+
+def init_state(problem, option):
+    """``outer_preprocess`` + ``inner_preprocess`` (``RIPTRM.py:849-864,406-424``)."""
+    man = problem.manifold
+    x0 = problem.x0
+    y0 = jnp.asarray(problem.y0)
+    mu0 = jnp.asarray(option["initial_barrier_parameter"], dtype=y0.dtype)
+    if option["initial_TR_radius"] is None:
+        tr0 = man.typical_dist / 8.0
+    else:
+        tr0 = option["initial_TR_radius"]
+    tr0 = jnp.asarray(tr0, dtype=y0.dtype)
+    dim = man.dim
+    dt = y0.dtype
+    return RiptrmState(
+        x=x0,
+        y=y0,
+        mu=mu0,
+        tr_radius=tr0,
+        outer_iter=jnp.asarray(0),
+        inner_count=jnp.asarray(0),
+        inner_x0=x0,
+        inner_y0=y0,
+        inner_tr0=tr0,
+        cache_valid=jnp.asarray(False),
+        h_mat=jnp.zeros((dim, dim), dtype=dt),
+        c_vec=jnp.zeros((dim,), dtype=dt),
+    )
+
+
+class RIPTRM:
+    """Host-facing solver wrapper with the reference's run protocol."""
+
+    def __init__(self, option=None):
+        self.option = merge_options(default_option(), option or {})
+        self.name = f"RIPTRM_{self.option['TRS_solver']}"
+
+    # ------------------------------------------------------------------
+    def run(self, problem) -> Output:
+        """Wall-clock-budgeted host loop (``RIPTRM.py:909-976``): one jitted
+        inner step per iteration, per-iteration logging, reference stopping
+        semantics (residual check at outer transitions, budget resets)."""
+        option = self.option
+        maybe_wandb_init(option, self.name)
+        log = LogAccumulator()
+        clock = WallClock(option["maxtime"])
+
+        step = jax.jit(make_step(problem, option))
+        state = init_state(problem, option)
+
+        eval0 = jax.jit(
+            lambda s: evaluation(problem, s.x, s.x, s.y, jnp.zeros((0,)))
+        )(state)
+        # iteration-0 row (outer loop first evaluation, RIPTRM.py:931-944)
+        status0 = {
+            "mu": state.mu,
+            "num_inner": None,
+            "inner_status": None,
+            "TR_radius": None,
+            "dxtype": None,
+            "normdx": None,
+            "minxfeasi": None,
+            "minyfeasi": None,
+            "compl": None,
+            "mineigvalHw": None,
+            "ared/pred": None,
+            "radius_update": None,
+            "dual_clipping": None,
+            "maxabsLagmult": float(jnp.max(jnp.abs(state.y))) if problem.has_ineq else 0.0,
+        }
+        log.add(0, 0.0, eval0, status0)
+        maybe_wandb_log(option, {**{k: float(v) for k, v in eval0.items()}, "time": 0.0})
+
+        stop_reason = None
+        if float(eval0["residual"]) <= option["tolresid"]:
+            stop_reason = f"KKT residual tolerance reached; current residual={float(eval0['residual'])} and tolresid={option['tolresid']}"
+
+        while stop_reason is None:
+            try:
+                state, info = step(state)
+                info = jax.tree.map(lambda a: a, info)  # leave on device
+                converged = bool(info["converged"])
+                residual = float(info["residual"])
+            except Exception as e:  # do_exit_on_error (RIPTRM.py:961-966)
+                if option["do_exit_on_error"]:
+                    print(f"Error: {e}")
+                    break
+                raise
+
+            outer_iter = int(state.outer_iter)
+            # The reference logs inner rows under the *current* outer
+            # iteration number (1-based); outer_iter counts completed outer
+            # iterations, so the row belongs to outer_iter when this step
+            # exited the inner loop and outer_iter + 1 otherwise.
+            row_iter = outer_iter if bool(info["exit_inner"]) else outer_iter + 1
+            row_time = clock.elapsed()
+            if option["save_inner_iteration"]:
+                row = self._format_info(info)
+                log.add(row_iter, row_time, row)
+                maybe_wandb_log(option, row | {"time": row_time})
+
+            # Wall-clock budget: revert to the inner loop's initial point
+            # (RIPTRM.py:823-834) and stop.
+            if clock.exceeded():
+                state = state._replace(
+                    x=state.inner_x0, y=state.inner_y0, tr_radius=state.inner_tr0
+                )
+                stop_reason = (
+                    f"Max time exceeded; runtime={clock.elapsed():.2f} and "
+                    f"maxtime={option['maxtime']}"
+                )
+                break
+            if converged:
+                if residual <= option["tolresid"]:
+                    stop_reason = (
+                        "KKT residual tolerance reached; current residual="
+                        f"{residual} and tolresid={option['tolresid']}"
+                    )
+                    break
+            if outer_iter >= option["maxiter"]:
+                stop_reason = (
+                    f"Max iteration count reached; maxiter={option['maxiter']} "
+                    f"after {clock.elapsed():.2f} seconds"
+                )
+                break
+
+        self.option["stoppingcriterion"] = stop_reason
+        maybe_wandb_finish(option)
+        opt_out = {k: v for k, v in self.option.items() if not callable(v)}
+        return Output(
+            name=self.name,
+            x=jax.tree.map(lambda a: a, state.x),
+            ineqLagmult=state.y,
+            eqLagmult=jnp.zeros((0,)),
+            option=copy.deepcopy(opt_out),
+            log=log.as_dict(),
+        )
+
+    @staticmethod
+    def _format_info(info) -> dict:
+        """Map jnp status codes to the reference's string log values."""
+        out = {}
+        for k, v in info.items():
+            if k in ("converged", "exit_inner"):
+                continue
+            out[k] = v
+        status = int(info["inner_status"])
+        out["inner_status"] = INNER_STATUS_NAMES[status]
+        dxt = int(info["dxtype"])
+        out["dxtype"] = TCG_NAMES[dxt - 10] if dxt >= 10 else TRS_NAMES[dxt]
+        out["radius_update"] = RADIUS_NAMES[int(info["radius_update"])]
+        dc = int(info["dual_clipping"])
+        out["dual_clipping"] = None if dc < 0 else bool(dc)
+        out["ared/pred"] = out.pop("ared_pred")
+        return out
+
+    # ------------------------------------------------------------------
+    def solve_compiled(self, problem, max_steps: int):
+        """Fully-compiled fixed-budget solve (lax.while_loop) for vmapped /
+        sharded sweeps and benchmarks.  Returns the final state and the
+        number of inner steps executed."""
+        option = self.option
+        step = make_step(problem, option)
+        tolresid = option["tolresid"]
+        maxiter = option["maxiter"]
+
+        def cond(carry):
+            state, k, done = carry
+            return (~done) & (k < max_steps)
+
+        def body(carry):
+            state, k, _ = carry
+            new_state, info = step(state)
+            done = (info["converged"] & (info["residual"] <= tolresid)) | (
+                new_state.outer_iter >= maxiter
+            )
+            return (new_state, k + 1, done)
+
+        def solve(state):
+            state, k, _ = jax.lax.while_loop(
+                cond, body, (state, jnp.asarray(0), jnp.asarray(False))
+            )
+            return state, k
+
+        return solve
