@@ -1,0 +1,264 @@
+"""RALM: Riemannian Augmented Lagrangian Method (Liu-Boumal baseline).
+
+Parity target: ``/root/reference/src/solver/RALM.py``:
+
+* AL function / gradient closures       RALM.py:144-163 (here: stacked + AD)
+* inner solve via steepest descent / CG RALM.py:180-188
+* clipped multiplier + rho updates      RALM.py:205-228
+* unbounded AKKT multiplier variant     RALM.py:193-203 (Yamakawa-Sato)
+
+The AL gradient is exact AD of the AL cost (max(0, .)^2 is C^1), so the
+stacked form needs no per-constraint loops; the entire outer step (inner
+while_loop solve + multiplier updates) is one jitted function.
+"""
+
+from __future__ import annotations
+
+import copy
+import time
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from riptrm_tpu.ops.kkt import evaluation
+from riptrm_tpu.solvers.base import (
+    LogAccumulator,
+    Output,
+    WallClock,
+    maybe_wandb_finish,
+    maybe_wandb_init,
+    maybe_wandb_log,
+    merge_options,
+)
+from riptrm_tpu.solvers.subsolvers import conjugate_gradient, steepest_descent
+
+
+def default_option():
+    """Defaults mirroring ``RALM.py:22-57``."""
+    return {
+        "maxtime": 100,
+        "maxiter": 100,
+        "tolresid": 1e-6,
+        "rho": 1.0,
+        "bound": 20.0,
+        "tau": 0.8,
+        "thetarho": 0.3,
+        "numOuterItertgn": 30,
+        "LagmultUnbdUpdate": False,
+        "innersubsolver": "SteepestDescent",  # or "ConjugateGradient"
+        "maxInnerIter": 200,
+        "startingtolgradnorm": 1e-3,
+        "endingtolgradnorm": 1e-6,
+        "innerminstepsize": 1e-10,
+        "verbosity": 0,
+        "wandb_logging": False,
+        "do_exit_on_error": True,
+    }
+
+
+class RalmState(NamedTuple):
+    x: object
+    y: jnp.ndarray  # clipped inequality multipliers
+    z: jnp.ndarray  # clipped equality multipliers
+    y_unbd: jnp.ndarray
+    z_unbd: jnp.ndarray
+    rho: jnp.ndarray
+    oldacc: jnp.ndarray
+    tolgradnorm: jnp.ndarray
+    outer_iter: jnp.ndarray
+
+
+def make_step(problem, option):
+    man = problem.manifold
+    bound = option["bound"]
+    tau = option["tau"]
+    thetarho = option["thetarho"]
+    ending = option["endingtolgradnorm"]
+    theta_tol = (option["endingtolgradnorm"] / option["startingtolgradnorm"]) ** (
+        1.0 / option["numOuterItertgn"]
+    )
+    subsolver = (
+        steepest_descent
+        if option["innersubsolver"] == "SteepestDescent"
+        else conjugate_gradient
+    )
+
+    def al_cost(x, y, z, rho):
+        """AL function (RALM.py:144-153)."""
+        val = problem.cost(x)
+        if problem.has_ineq:
+            g = problem.ineq(x)
+            val = val + 0.5 * rho * jnp.sum(jnp.maximum(0.0, y / rho + g) ** 2)
+        if problem.has_eq:
+            h = problem.eq(x)
+            val = val + 0.5 * rho * jnp.sum((z / rho + h) ** 2)
+        return val
+
+    def step(state: RalmState):
+        y, z, rho = state.y, state.z, state.rho
+
+        cost = lambda x: al_cost(x, y, z, rho)
+        rgrad = lambda x: man.egrad2rgrad(x, jax.grad(cost)(x))
+        result = subsolver(
+            man,
+            cost,
+            rgrad,
+            state.x,
+            max_iterations=option["maxInnerIter"],
+            min_step_size=option["innerminstepsize"],
+            min_gradient_norm=state.tolgradnorm,
+        )
+        x = result.point
+
+        g = problem.ineq_val(x)
+        h = problem.eq_val(x)
+
+        # Unbounded AKKT multipliers (RALM.py:193-203)
+        y_unbd = jnp.maximum(0.0, y + rho * g) if problem.has_ineq else state.y_unbd
+        z_unbd = z + rho * h if problem.has_eq else state.z_unbd
+
+        # Clipped multiplier updates + accuracy (RALM.py:205-218)
+        newacc = jnp.asarray(0.0, dtype=rho.dtype)
+        if problem.has_ineq:
+            newacc = jnp.maximum(newacc, jnp.max(jnp.abs(jnp.maximum(-y / rho, g))))
+            y = jnp.minimum(bound, jnp.maximum(0.0, y + rho * g))
+        if problem.has_eq:
+            newacc = jnp.maximum(newacc, jnp.max(jnp.abs(h)))
+            z = jnp.minimum(bound, jnp.maximum(-bound, z + rho * h))
+
+        # rho update (RALM.py:225-227); OuterIteration==0 can't occur here
+        # because step is called with outer_iter >= 1 (as in the reference,
+        # which increments before calling step).
+        rho = jnp.where(
+            (state.outer_iter == 0) | (newacc > tau * state.oldacc), rho / thetarho, rho
+        )
+        tolgradnorm = jnp.maximum(ending, state.tolgradnorm * theta_tol)
+
+        new_state = RalmState(
+            x=x,
+            y=y,
+            z=z,
+            y_unbd=y_unbd,
+            z_unbd=z_unbd,
+            rho=rho,
+            oldacc=newacc,
+            tolgradnorm=tolgradnorm,
+            outer_iter=state.outer_iter + 1,
+        )
+        info = {
+            "inner_iterations": result.iterations,
+            "inner_gradnorm": result.gradient_norm,
+        }
+        return new_state, info
+
+    return step
+
+
+def eval_multipliers(problem, state, option):
+    """``set_LagEvals`` (RALM.py:65-80)."""
+    if option["LagmultUnbdUpdate"]:
+        return state.y_unbd, state.z_unbd
+    return state.y, state.z
+
+
+def init_state(problem, option):
+    y0 = jnp.asarray(problem.y0)
+    z0 = jnp.asarray(problem.z0)
+    dt = y0.dtype if y0.size else jnp.asarray(1.0).dtype
+    return RalmState(
+        x=problem.x0,
+        y=y0,
+        z=z0,
+        y_unbd=y0,
+        z_unbd=z0,
+        rho=jnp.asarray(option["rho"], dtype=dt),
+        oldacc=jnp.asarray(jnp.inf, dtype=dt),
+        tolgradnorm=jnp.asarray(option["startingtolgradnorm"], dtype=dt),
+        outer_iter=jnp.asarray(0),
+    )
+
+
+class RALM:
+    def __init__(self, option=None):
+        self.option = merge_options(default_option(), option or {})
+        self.name = f"RALM_{self.option['innersubsolver']}"
+
+    def run(self, problem) -> Output:
+        option = self.option
+        maybe_wandb_init(option, self.name)
+        log = LogAccumulator()
+        clock = WallClock(option["maxtime"])
+        step = jax.jit(make_step(problem, option))
+        state = init_state(problem, option)
+
+        eval_fn = jax.jit(
+            lambda s, y, z, xp: evaluation(problem, xp, s.x, y, z)
+        )
+
+        stop_reason = None
+        x_prev = state.x
+        iteration = 0
+        while True:
+            y_eval, z_eval = eval_multipliers(problem, state, option)
+            try:
+                ev = eval_fn(state, y_eval, z_eval, x_prev)
+            except Exception as e:
+                if option["do_exit_on_error"]:
+                    print(f"Error: {e}")
+                    break
+                raise
+            status = {
+                "rho": state.rho,
+                "maxabsLagmult": float(
+                    max(
+                        [abs(float(v)) for v in jnp.atleast_1d(y_eval)] + [abs(float(v)) for v in jnp.atleast_1d(z_eval)],
+                        default=float("-inf"),
+                    )
+                ),
+            }
+            run_time = 0.0 if iteration == 0 else clock.elapsed()
+            log.add(iteration, run_time, ev, status)
+            maybe_wandb_log(option, {k: float(v) for k, v in ev.items()} | {"time": run_time})
+
+            residual = float(ev["residual"])
+            x_prev = state.x
+            if residual <= option["tolresid"]:
+                stop_reason = (
+                    f"KKT residual tolerance reached; current residual={residual} "
+                    f"and tolresid={option['tolresid']}"
+                )
+                break
+            if clock.exceeded():
+                stop_reason = (
+                    f"Max time exceeded; runtime={clock.elapsed():.2f} and "
+                    f"maxtime={option['maxtime']}"
+                )
+                break
+            if iteration >= option["maxiter"]:
+                stop_reason = (
+                    f"Max iteration count reached; maxiter={option['maxiter']} "
+                    f"after {clock.elapsed():.2f} seconds"
+                )
+                break
+            iteration += 1
+            try:
+                state, _ = step(state)
+            except Exception as e:
+                if option["do_exit_on_error"]:
+                    print(f"Error: {e}")
+                    break
+                raise
+
+        self.option["stoppingcriterion"] = stop_reason
+        maybe_wandb_finish(option)
+        y_eval, z_eval = eval_multipliers(problem, state, option)
+        opt_out = {k: v for k, v in self.option.items() if not callable(v)}
+        return Output(
+            name=self.name,
+            x=state.x,
+            ineqLagmult=y_eval,
+            eqLagmult=z_eval,
+            option=copy.deepcopy(opt_out),
+            log=log.as_dict(),
+        )

@@ -1,0 +1,543 @@
+"""RIPM: Riemannian primal-dual Interior Point Method (Lai-Yoshise baseline).
+
+Parity target: ``/root/reference/src/solver/RIPM.py``:
+
+* KKT vector field F(x,y,z,s)           RIPM.py:75-88
+* condensed Newton system + recovery    RIPM.py:480-516
+* dense RepresentMat / matrix-free CR   RIPM.py:238-340
+* merit line search with centrality     RIPM.py:631-683
+* sigma/rho/gamma updates               RIPM.py:680-683
+* checkNTequation self-verification     RIPM.py:521-628
+
+TPU-first notes:
+* The constraint-gradient matrix G (rows = coords of rgrad g_i) is one
+  vmapped vjp; the saddle system is dense in metric-orthonormal
+  coordinates and solved with a single ``linalg.solve``.
+* ``checkNTequation`` builds the full covariant-derivative matrix from the
+  same blocks; its non-symmetric eigenvalues (no TPU kernel) go through
+  ``pure_callback`` to the host, as this is an explicitly debug-only path.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from riptrm_tpu.ops.basis import materialize_symmetrized
+from riptrm_tpu.ops.conjres import conjugate_residual
+from riptrm_tpu.ops.kkt import evaluation
+from riptrm_tpu.solvers.base import (
+    LogAccumulator,
+    Output,
+    WallClock,
+    maybe_wandb_finish,
+    maybe_wandb_init,
+    maybe_wandb_log,
+    merge_options,
+)
+
+
+def default_option():
+    """Defaults mirroring ``RIPM.py:137-177``."""
+    return {
+        "maxtime": 100,
+        "maxiter": 100,
+        "tolresid": 1e-6,
+        "KrylovIterMethod": False,
+        "KrylovTolrelresid": 1e-9,
+        "KrylovMaxIteration": 1000,
+        "checkNTequation": False,
+        "gamma": 0.9,
+        "linesearch_execute_fun2": False,
+        "linesearch_beta": 1e-4,
+        "linesearch_theta": 0.5,
+        "linesearch_max_steps": 50,
+        "heuristic_z_s": False,
+        "desired_tau_1": 0.5,
+        "important": 1.0,
+        "verbosity": 0,
+        "wandb_logging": False,
+        "do_exit_on_error": True,
+    }
+
+
+class RipmState(NamedTuple):
+    x: object
+    y: jnp.ndarray  # equality multipliers
+    z: jnp.ndarray  # inequality multipliers
+    s: jnp.ndarray  # slacks
+    phi: jnp.ndarray
+    sigma: jnp.ndarray
+    rho: jnp.ndarray
+    gamma: jnp.ndarray
+    iteration: jnp.ndarray
+
+
+def _kkt_field(problem, x, y, z, s):
+    """F(w) = (grad_x L, h(x), g(x) + s, z * s) (``RIPM.py:75-88``)."""
+    fx = problem.lag_rgrad(x, z, y)
+    fy = problem.eq_val(x)
+    fz = problem.ineq_val(x) + s
+    fs = z * s
+    return fx, fy, fz, fs
+
+
+def _phi(problem, x, fx, fy, fz, fs):
+    return (
+        problem.manifold.inner(x, fx, fx)
+        + jnp.vdot(fy, fy)
+        + jnp.vdot(fz, fz)
+        + jnp.vdot(fs, fs)
+    )
+
+
+def _gx_pos(problem, x, v):
+    """Sum_i v_i * rgrad g_i (RIPM's barGx uses +grad g, ``RIPM.py:33-38``)."""
+    _, pullback = jax.vjp(problem.ineq, x)
+    (eg,) = pullback(v)
+    return problem.manifold.egrad2rgrad(x, eg)
+
+
+def _gxaj_pos(problem, x, dx):
+    _, dg = jax.jvp(problem.ineq, (x,), (dx,))
+    return dg
+
+
+def _constraint_grad_matrix(problem, x, basis, m):
+    """G with G[i, :] = coords of rgrad g_i — one vmapped vjp."""
+    man = problem.manifold
+    eye = jnp.eye(m)
+    return jax.vmap(lambda e: man.to_coords(x, basis, _gx_pos(problem, x, e)))(eye)
+
+
+def _eq_grad_matrix(problem, x, basis, l):
+    man = problem.manifold
+    eye = jnp.eye(l)
+
+    def row(e):
+        _, pullback = jax.vjp(problem.eq, x)
+        (eg,) = pullback(e)
+        return man.to_coords(x, basis, man.egrad2rgrad(x, eg))
+
+    return jax.vmap(row)(eye)
+
+
+def make_step(problem, option):
+    man = problem.manifold
+    dim = man.dim
+    m = problem.num_ineq
+    l = problem.num_eq
+    krylov = option["KrylovIterMethod"]
+    check_nt = option["checkNTequation"]
+    ls_beta = option["linesearch_beta"]
+    ls_theta = option["linesearch_theta"]
+    ls_max = option["linesearch_max_steps"]
+    ls_fun2 = option["linesearch_execute_fun2"]
+
+    def hess_lag(x, y, z, dx):
+        return problem.lag_rhess(x, z, dx, y)
+
+    def step(state: RipmState, tau_1, tau_2):
+        x, y, z, s = state.x, state.y, state.z, state.s
+        sigma, rho, gamma = state.sigma, state.rho, state.gamma
+        fx, fy, fz, fs = _kkt_field(problem, x, y, z, s)
+        phi_cur = _phi(problem, x, fx, fy, fz, fs)
+        ehat = jnp.ones((m,), dtype=z.dtype)
+
+        # Condensed Newton rhs (RIPM.py:480-482)
+        c = jax.tree.map(
+            lambda a, b: -a - b,
+            fx,
+            _gx_pos(problem, x, (z * fz + sigma * rho * ehat - fs) / s),
+        )
+        q = -fy
+
+        def op_aw(dx):
+            theta = _gx_pos(problem, x, _gxaj_pos(problem, x, dx) * (z / s))
+            return jax.tree.map(lambda a, b: a + b, hess_lag(x, y, z, dx), theta)
+
+        basis = man.basis(x)
+        krylov_iters = jnp.asarray(0)
+        krylov_relres = jnp.asarray(0.0, dtype=s.dtype)
+        if krylov:
+            # Matrix-free conjugate residual on T_x M x R^l (RIPM.py:304-340)
+            def op_t(dxdy):
+                dx, dy = dxdy
+                out_x = op_aw(dx)
+                if l > 0:
+                    out_x = jax.tree.map(
+                        lambda a, b: a + b, out_x, problem.hx(x, dy)
+                    )
+                    out_y = problem.hx_adj(x, dx)
+                else:
+                    out_y = jnp.zeros((0,), dtype=s.dtype)
+                return (out_x, out_y)
+
+            inner = lambda u, v: man.inner(x, u[0], v[0]) + jnp.vdot(u[1], v[1])
+            v0 = (man.zero_vector(x), jnp.zeros((l,), dtype=s.dtype))
+            (ntdir_x, ntdir_y), krylov_iters, krylov_relres = conjugate_residual(
+                inner,
+                op_t,
+                (c, q),
+                v0,
+                tol=option["KrylovTolrelresid"],
+                maxiter=option["KrylovMaxIteration"],
+            )
+        else:
+            # Dense saddle solve in coordinates (RIPM.py:238-302)
+            aw_mat = materialize_symmetrized(man, x, basis, op_aw)
+            c_vec = man.to_coords(x, basis, c)
+            if l > 0:
+                heq = _eq_grad_matrix(problem, x, basis, l)  # [l, dim]
+                t_mat = jnp.block(
+                    [[aw_mat, heq.T], [heq, jnp.zeros((l, l), dtype=s.dtype)]]
+                )
+                rhs = jnp.concatenate([c_vec, q])
+                sol = jnp.linalg.solve(t_mat, rhs)
+                ntdir_x = man.from_coords(x, basis, sol[:dim])
+                ntdir_y = sol[dim:]
+            else:
+                sol = jnp.linalg.solve(aw_mat, c_vec)
+                ntdir_x = man.from_coords(x, basis, sol)
+                ntdir_y = jnp.zeros((0,), dtype=s.dtype)
+
+        # Recover dz, ds (RIPM.py:514-516)
+        gxaj_dx = _gxaj_pos(problem, x, ntdir_x)
+        ntdir_z = (z * (gxaj_dx + fz) + sigma * rho * ehat - fs) / s
+        ntdir_s = (sigma * rho * ehat - fs - s * ntdir_z) / z
+
+        norm_ntdir_x = man.norm(x, ntdir_x)
+        norm_ntdir_w = jnp.sqrt(
+            norm_ntdir_x**2
+            + jnp.vdot(ntdir_y, ntdir_y)
+            + jnp.vdot(ntdir_z, ntdir_z)
+            + jnp.vdot(ntdir_s, ntdir_s)
+        )
+        grad_f = problem.rgrad(x)
+        gradf_ntdir = man.inner(x, grad_f, ntdir_x)
+
+        # Optional debug self-check (RIPM.py:521-628)
+        nt_info = {}
+        if check_nt:
+            nt_info = _check_nt_equation(
+                problem, x, y, z, s, basis,
+                (ntdir_x, ntdir_y, ntdir_z, ntdir_s),
+                (fx, fy, fz, fs), phi_cur, sigma, rho, op_aw, hess_lag,
+            )
+
+        # Backtracking merit line search with centrality (RIPM.py:631-663)
+        ls_right = 2.0 * (sigma * rho * jnp.vdot(z, s) - phi_cur)
+
+        def trial(stepsize):
+            x_new = man.retract(x, jax.tree.map(lambda a: stepsize * a, ntdir_x))
+            y_new = y + stepsize * ntdir_y
+            z_new = z + stepsize * ntdir_z
+            s_new = s + stepsize * ntdir_s
+            f = _kkt_field(problem, x_new, y_new, z_new, s_new)
+            phi_new = _phi(problem, x_new, *f)
+            return (x_new, y_new, z_new, s_new), f, phi_new
+
+        def ls_ok(stepsize, z_new, s_new, phi_new):
+            armijo = phi_new - phi_cur <= ls_beta * stepsize * ls_right
+            zs = z_new * s_new
+            fun1 = jnp.min(zs) - gamma * tau_1 * (jnp.vdot(z_new, s_new) / m) >= 0
+            ok = armijo & fun1
+            if ls_fun2:
+                fun2 = (
+                    jnp.vdot(z_new, s_new)
+                    - gamma * tau_2 * jnp.sqrt(phi_new)
+                ) >= 0
+                ok = ok & fun2
+            return ok
+
+        w1, f1, phi1 = trial(jnp.asarray(1.0, dtype=s.dtype))
+
+        def cond(carry):
+            stepsize, w, f, phi_new, r, ok = carry
+            return (~ok) & (r <= ls_max)
+
+        def body(carry):
+            stepsize, w, f, phi_new, r, _ = carry
+            stepsize = stepsize * ls_theta
+            w, f, phi_new = trial(stepsize)
+            ok = ls_ok(stepsize, w[2], w[3], phi_new)
+            return (stepsize, w, f, phi_new, r + 1, ok)
+
+        ok1 = ls_ok(jnp.asarray(1.0, dtype=s.dtype), w1[2], w1[3], phi1)
+        stepsize, w_new, f_new, phi_new, r, ok = jax.lax.while_loop(
+            cond, body, (jnp.asarray(1.0, dtype=s.dtype), w1, f1, phi1, jnp.asarray(0), ok1)
+        )
+        ls_status = r <= ls_max
+
+        x_new, y_new, z_new, s_new = w_new
+        sigma_new = jnp.minimum(0.5, phi_new**0.25)
+        rho_new = jnp.vdot(z_new, s_new) / m
+        gamma_new = 0.5 * (gamma + 0.5)
+
+        new_state = RipmState(
+            x=x_new, y=y_new, z=z_new, s=s_new,
+            phi=phi_new, sigma=sigma_new, rho=rho_new, gamma=gamma_new,
+            iteration=state.iteration + 1,
+        )
+        info = {
+            "normNTdirx": norm_ntdir_x,
+            "normNTdirw": norm_ntdir_w,
+            "stepsize": stepsize,
+            "linesearch_status": ls_status,
+            "linesearch_counter": r,
+            "linesearch_RightItem": ls_right,
+            "gradfNTdir": gradf_ntdir,
+        }
+        if krylov:
+            info["KrylovIterMethod_Iter"] = krylov_iters
+            info["KrylovIterMethod_RelRes"] = krylov_relres
+        info.update(nt_info)
+        return new_state, info
+
+    return step
+
+
+def _check_nt_equation(
+    problem, x, y, z, s, basis, ntdir, f, phi_cur, sigma, rho, op_aw, hess_lag
+):
+    """Debug-only Newton-system verification (``RIPM.py:521-628``):
+    residual of the non-condensed system, merit-gradient identity, norm,
+    angle, and min-|eigval| of the full covariant-derivative matrix."""
+    man = problem.manifold
+    dim = man.dim
+    m = problem.num_ineq
+    l = problem.num_eq
+    ntdir_x, ntdir_y, ntdir_z, ntdir_s = ntdir
+    fx, fy, fz, fs = f
+    ehat = jnp.ones((m,), dtype=s.dtype)
+
+    def nabla_f(dw):
+        dx, dy, dz, ds = dw
+        out_x = jax.tree.map(
+            lambda a, b: a + b, hess_lag(x, y, z, dx), _gx_pos(problem, x, dz)
+        )
+        if l > 0:
+            out_x = jax.tree.map(lambda a, b: a + b, out_x, problem.hx(x, dy))
+            out_y = problem.hx_adj(x, dx)
+        else:
+            out_y = jnp.zeros((0,), dtype=s.dtype)
+        out_z = _gxaj_pos(problem, x, dx) + ds
+        out_s = z * ds + s * dz
+        return out_x, out_y, out_z, out_s
+
+    def nabla_f_adj(dw):
+        dx, dy, dz, ds = dw
+        out_x = jax.tree.map(
+            lambda a, b: a + b, hess_lag(x, y, z, dx), _gx_pos(problem, x, dz)
+        )
+        if l > 0:
+            out_x = jax.tree.map(lambda a, b: a + b, out_x, problem.hx(x, dy))
+            out_y = problem.hx_adj(x, dx)
+        else:
+            out_y = jnp.zeros((0,), dtype=s.dtype)
+        out_z = _gxaj_pos(problem, x, dx) + s * ds
+        out_s = z * ds + dz
+        return out_x, out_y, out_z, out_s
+
+    def w_inner(u, v):
+        return (
+            man.inner(x, u[0], v[0])
+            + jnp.vdot(u[1], v[1])
+            + jnp.vdot(u[2], v[2])
+            + jnp.vdot(u[3], v[3])
+        )
+
+    def w_norm(u):
+        return jnp.sqrt(w_inner(u, u))
+
+    # Item 1: residual of the non-condensed Newton equation
+    rhs = (
+        jax.tree.map(lambda a: -a, fx),
+        -fy,
+        -fz,
+        -fs + sigma * rho * ehat,
+    )
+    lhs = nabla_f(ntdir)
+    diff = jax.tree.map(lambda a, b: a - b, lhs, rhs)
+    err1 = w_norm(diff)
+
+    # Item 2: merit-gradient identity
+    gradphi = jax.tree.map(lambda a: 2.0 * a, nabla_f_adj((fx, fy, fz, fs)))
+    val = w_inner(gradphi, ntdir)
+    err2 = jnp.abs(val - 2.0 * (sigma * rho * jnp.vdot(z, s) - phi_cur))
+    norm_gradphi = w_norm(gradphi)
+    ntdir_norm = w_norm(ntdir)
+    angle = -val / (norm_gradphi * ntdir_norm)
+
+    # min |eigval| of the covariant-derivative matrix: dense blocks in
+    # coordinates, non-symmetric eig via host callback (debug only).
+    h_mat = materialize_symmetrized(man, x, basis, lambda dx: hess_lag(x, y, z, dx))
+    g_mat = _constraint_grad_matrix(problem, x, basis, m)  # [m, dim]
+    if l > 0:
+        heq = _eq_grad_matrix(problem, x, basis, l)
+    else:
+        heq = jnp.zeros((0, dim), dtype=s.dtype)
+    zdim = dim + l + 2 * m
+    zero = lambda r, c: jnp.zeros((r, c), dtype=s.dtype)
+    full = jnp.block(
+        [
+            [h_mat, heq.T, g_mat.T, zero(dim, m)],
+            [heq, zero(l, l), zero(l, m), zero(l, m)],
+            [g_mat, zero(m, l), zero(m, m), jnp.eye(m, dtype=s.dtype)],
+            [zero(m, dim), zero(m, l), jnp.diag(s), jnp.diag(z)],
+        ]
+    )
+
+    def host_min_abs_eig(a):
+        w = np.linalg.eigvals(np.asarray(a))
+        return np.asarray(w[np.argmin(np.abs(w))].real, dtype=a.dtype)
+
+    mineig = jax.pure_callback(
+        host_min_abs_eig, jax.ShapeDtypeStruct((), s.dtype), full
+    )
+    return {
+        "NTdir_error1": err1,
+        "NTdir_error2": err2,
+        "NTdir_norm": ntdir_norm,
+        "NTdir_angle": angle,
+        "CovDerivKKT_minabseigval": mineig,
+    }
+
+
+def init_state(problem, option):
+    """``preprocess`` (``RIPM.py:342-444``)."""
+    m = problem.num_ineq
+    y0 = jnp.asarray(problem.z0)  # equality multipliers
+    if option["heuristic_z_s"]:
+        z0 = jnp.ones((m,))
+        z0 = z0.at[0].set(
+            jnp.sqrt((m - 1) / (m / option["desired_tau_1"] - 1))
+        )
+        s0 = option["important"] * z0
+    else:
+        z0 = jnp.asarray(problem.y0)
+        s0 = jnp.asarray(problem.y0)
+    x0 = problem.x0
+    f = _kkt_field(problem, x0, y0, z0, s0)
+    phi0 = _phi(problem, x0, *f)
+    sigma0 = jnp.minimum(0.5, phi0**0.25)
+    rho0 = jnp.vdot(z0, s0) / m
+    tau_1 = jnp.min(z0 * s0) * m / jnp.vdot(z0, s0)
+    tau_2 = jnp.vdot(z0, s0) / jnp.sqrt(phi0)
+    state = RipmState(
+        x=x0, y=y0, z=z0, s=s0, phi=phi0,
+        sigma=sigma0, rho=rho0,
+        gamma=jnp.asarray(option["gamma"], dtype=z0.dtype),
+        iteration=jnp.asarray(0),
+    )
+    return state, tau_1, tau_2
+
+
+class RIPM:
+    def __init__(self, option=None):
+        self.option = merge_options(default_option(), option or {})
+        kind = "Krylov" if self.option["KrylovIterMethod"] else "RepMat"
+        self.name = (
+            f"RIPM_{kind}_gamma{self.option['gamma']}_beta"
+            f"{self.option['linesearch_beta']}_theta{self.option['linesearch_theta']}"
+        )
+
+    def run(self, problem) -> Output:
+        option = self.option
+        maybe_wandb_init(option, self.name)
+        log = LogAccumulator()
+        clock = WallClock(option["maxtime"])
+        step_fn = make_step(problem, option)
+        step = jax.jit(lambda st, t1, t2: step_fn(st, t1, t2))
+        state, tau_1, tau_2 = init_state(problem, option)
+        eval_fn = jax.jit(lambda xp, st: evaluation(problem, xp, st.x, st.z, st.y))
+
+        info = {}
+        x_prev = state.x
+        iteration = 0
+        stop_reason = None
+        while True:
+            try:
+                ev = eval_fn(x_prev, state)
+            except Exception as e:
+                if option["do_exit_on_error"]:
+                    print(f"Error: {e}")
+                    break
+                raise
+            status = {
+                "Phi": state.phi,
+                "sigma": state.sigma,
+                "rho": state.rho,
+                "maxabsLagmult": float(
+                    max(
+                        [abs(float(v)) for v in jnp.atleast_1d(state.z)]
+                        + [abs(float(v)) for v in jnp.atleast_1d(state.y)],
+                        default=float("-inf"),
+                    )
+                ),
+            }
+            for key in (
+                "normNTdirx", "normNTdirw", "stepsize", "linesearch_status",
+                "linesearch_counter", "linesearch_RightItem", "gradfNTdir",
+                "KrylovIterMethod_Iter", "KrylovIterMethod_RelRes",
+                "NTdir_error1", "NTdir_error2", "NTdir_norm", "NTdir_angle",
+                "CovDerivKKT_minabseigval",
+            ):
+                if key in info:
+                    status[key] = info[key]
+                elif (
+                    key.startswith("NTdir") or key.startswith("CovDeriv")
+                ) and option["checkNTequation"]:
+                    status[key] = None
+                elif key.startswith("Krylov") and option["KrylovIterMethod"]:
+                    status[key] = None
+                elif not key.startswith(("Krylov", "NTdir", "CovDeriv")):
+                    status[key] = info.get(key)
+            run_time = 0.0 if iteration == 0 else clock.elapsed()
+            log.add(iteration, run_time, ev, status)
+            maybe_wandb_log(option, {k: float(v) for k, v in ev.items()} | {"time": run_time})
+
+            residual = float(ev["residual"])
+            x_prev = state.x
+            if residual <= option["tolresid"]:
+                stop_reason = (
+                    f"KKT residual tolerance reached; current residual={residual} "
+                    f"and tolresid={option['tolresid']}"
+                )
+                break
+            if clock.exceeded():
+                stop_reason = (
+                    f"Max time exceeded; runtime={clock.elapsed():.2f} and "
+                    f"maxtime={option['maxtime']}"
+                )
+                break
+            if iteration >= option["maxiter"]:
+                stop_reason = (
+                    f"Max iteration count reached; maxiter={option['maxiter']} "
+                    f"after {clock.elapsed():.2f} seconds"
+                )
+                break
+            iteration += 1
+            try:
+                state, info = step(state, tau_1, tau_2)
+            except Exception as e:
+                if option["do_exit_on_error"]:
+                    print(f"Error: {e}")
+                    break
+                raise
+
+        self.option["stoppingcriterion"] = stop_reason
+        maybe_wandb_finish(option)
+        opt_out = {k: v for k, v in self.option.items() if not callable(v)}
+        return Output(
+            name=self.name,
+            x=state.x,
+            ineqLagmult=state.z,
+            eqLagmult=state.y,
+            option=copy.deepcopy(opt_out),
+            log=log.as_dict(),
+        )

@@ -1,0 +1,307 @@
+"""RSQO: Riemannian Sequential Quadratic Optimization (Obara-Okuno-Takeda).
+
+Parity target: ``/root/reference/src/solver/RSQO.py``:
+
+* Lagrangian Hessian materialization + eigenvalue regularization
+  (``reghess``, RSQO.py:114-134; ``reghess_operator`` :135-145; ``eye`` :146-149)
+* linearized constraint matrices          RSQO.py:160-191
+* tangent-space QP (CVXOPT there)         RSQO.py:196-208 -> ops/qp.py here
+* ell_1-penalty backtracking line search  RSQO.py:229-247
+* penalty update rho <- upsilon + tau     RSQO.py:220-227
+
+TPU-first: Hessian materialization is one batched vmap over the
+deterministic basis; the constraint matrix G is one vmapped vjp; the QP is
+our jittable Mehrotra IPM, so the whole step is a single XLA program.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from riptrm_tpu.ops.basis import materialize_symmetrized
+from riptrm_tpu.ops.kkt import evaluation
+from riptrm_tpu.ops.qp import solve_qp
+from riptrm_tpu.solvers.base import (
+    LogAccumulator,
+    Output,
+    WallClock,
+    maybe_wandb_finish,
+    maybe_wandb_init,
+    maybe_wandb_log,
+    merge_options,
+)
+
+
+def default_option():
+    """Defaults mirroring ``RSQO.py:26-65``."""
+    return {
+        "maxtime": 100,
+        "maxiter": 100,
+        "tolresid": 1e-6,
+        "quadoptim_type": "reghess",  # 'reghess' or 'eye'
+        "quadoptim_eigvalcorr": 1e-8,
+        "quadoptim_eigvalthld": 1e-5,
+        "quadoptim_maxiter": 400,
+        "quadoptim_abstol": 1e-12,
+        "quadoptim_reltol": 1e-12,
+        "quadoptim_feastol": 1e-12,
+        "rho": 1.0,
+        "tau": 0.5,
+        "beta": 0.9,
+        "gamma": 0.25,
+        "linesearch_max": 10000,
+        "linesearch_threshold": 1e-8,
+        "verbosity": 0,
+        "wandb_logging": False,
+        "do_exit_on_error": True,
+    }
+
+
+class RsqoState(NamedTuple):
+    x: object
+    y: jnp.ndarray  # inequality multipliers
+    z: jnp.ndarray  # equality multipliers
+    rho: jnp.ndarray
+
+
+def _ell1_penalty(problem, x, rho):
+    """f + rho * (sum max(0, g) + sum |h|)  (``RSQO.py:11-21``)."""
+    val = problem.cost(x)
+    vio = jnp.asarray(0.0, dtype=val.dtype)
+    if problem.has_ineq:
+        vio = vio + jnp.sum(jnp.maximum(0.0, problem.ineq(x)))
+    if problem.has_eq:
+        vio = vio + jnp.sum(jnp.abs(problem.eq(x)))
+    return val + rho * vio
+
+
+def make_step(problem, option):
+    man = problem.manifold
+    dim = man.dim
+    m = problem.num_ineq
+    l = problem.num_eq
+    thld = option["quadoptim_eigvalthld"]
+    corr = option["quadoptim_eigvalcorr"]
+    tau = option["tau"]
+    beta = option["beta"]
+    gamma = option["gamma"]
+    tolresid = option["tolresid"]
+    qp_abstol = max(option["quadoptim_abstol"], tolresid)
+    qp_reltol = max(option["quadoptim_reltol"], tolresid)
+    qp_feastol = max(option["quadoptim_feastol"], tolresid)
+
+    def step(state: RsqoState):
+        x, y, z, rho = state.x, state.y, state.z, state.rho
+        basis = man.basis(x)
+
+        # --- regularized Lagrangian Hessian in coordinates ---------------
+        if option["quadoptim_type"] in ("reghess", "reghess_operator"):
+            hess = lambda v: problem.lag_rhess(x, y, v, z)
+            q_raw = materialize_symmetrized(man, x, basis, hess)
+            w, v = jnp.linalg.eigh(q_raw)
+            w = jnp.where(w < thld, corr, w)
+            q_mat = (v * w) @ v.T
+            q_mat = 0.5 * (q_mat + q_mat.T)
+        elif option["quadoptim_type"] == "eye":
+            q_mat = jnp.eye(dim, dtype=y.dtype)
+        else:
+            raise ValueError(f"quadoptim_type {option['quadoptim_type']}")
+
+        p_vec = man.to_coords(x, basis, problem.rgrad(x))
+
+        # --- linearized constraints (one vmapped vjp per family) --------
+        if m > 0:
+            def g_row(e):
+                _, pullback = jax.vjp(problem.ineq, x)
+                (eg,) = pullback(e)
+                return man.to_coords(x, basis, man.egrad2rgrad(x, eg))
+
+            g_mat = jax.vmap(g_row)(jnp.eye(m, dtype=y.dtype))
+            h_vec = -problem.ineq(x)
+        else:
+            g_mat = jnp.zeros((0, dim), dtype=y.dtype)
+            h_vec = jnp.zeros((0,), dtype=y.dtype)
+        if l > 0:
+            def a_row(e):
+                _, pullback = jax.vjp(problem.eq, x)
+                (eg,) = pullback(e)
+                return man.to_coords(x, basis, man.egrad2rgrad(x, eg))
+
+            a_mat = jax.vmap(a_row)(jnp.eye(l, dtype=y.dtype))
+            b_vec = -problem.eq(x)
+        else:
+            a_mat = jnp.zeros((0, dim), dtype=y.dtype)
+            b_vec = jnp.zeros((0,), dtype=y.dtype)
+
+        # --- tangent-space QP -------------------------------------------
+        sol = solve_qp(
+            q_mat, p_vec, g_mat, h_vec, a_mat, b_vec,
+            abstol=qp_abstol, reltol=qp_reltol, feastol=qp_feastol,
+            maxiter=option["quadoptim_maxiter"],
+        )
+        coeff = sol.x
+        y_new = sol.z
+        z_new = sol.y
+
+        df0 = coeff @ (q_mat @ coeff)
+        direction = man.from_coords(x, basis, coeff)
+        normdx = man.norm(x, direction)
+
+        # --- penalty update (RSQO.py:220-227) ---------------------------
+        upsilon = jnp.asarray(0.0, dtype=rho.dtype)
+        if m > 0:
+            upsilon = jnp.maximum(upsilon, jnp.max(y_new))
+        if l > 0:
+            upsilon = jnp.maximum(upsilon, jnp.max(jnp.abs(z_new)))
+        rho = jnp.where(rho < upsilon, upsilon + tau, rho)
+
+        # --- ell_1 penalty line search (RSQO.py:229-247) ----------------
+        f0 = _ell1_penalty(problem, x, rho)
+        gamma_df0 = gamma * df0
+
+        def trial(stepsize):
+            x_new = man.retract(x, jax.tree.map(lambda a: stepsize * a, direction))
+            return x_new, _ell1_penalty(problem, x_new, rho)
+
+        x1, f1 = trial(jnp.asarray(1.0, dtype=rho.dtype))
+
+        def cond(carry):
+            stepsize, gdf0, x_new, f_new, k = carry
+            need = (f_new > (f0 - gdf0)) & (
+                jnp.abs(f_new - (f0 - gdf0)) > option["linesearch_threshold"]
+            )
+            return need & (k < option["linesearch_max"])
+
+        def body(carry):
+            stepsize, gdf0, _, _, k = carry
+            stepsize = stepsize * beta
+            gdf0 = gdf0 * beta
+            x_new, f_new = trial(stepsize)
+            return (stepsize, gdf0, x_new, f_new, k + 1)
+
+        stepsize, _, x_new, f_new, ls_count = jax.lax.while_loop(
+            cond, body, (jnp.asarray(1.0, dtype=rho.dtype), gamma_df0, x1, f1, jnp.asarray(0))
+        )
+        ls_status = ls_count < option["linesearch_max"]
+
+        new_state = RsqoState(x=x_new, y=y_new, z=z_new, rho=rho)
+        info = {
+            "rho": rho,
+            "upsilon": upsilon,
+            "quadoptim_status": sol.status,
+            "quadoptim_iter": sol.iterations,
+            "quadoptim_gap": sol.gap,
+            "quadoptim_primalinfeasibility": sol.primal_infeasibility,
+            "quadoptim_dualinfeasibility": sol.dual_infeasibility,
+            "normdx": normdx,
+            "stepsize": stepsize,
+            "df0": df0,
+            "linesearch_status": ls_status,
+            "linesearch_counter": ls_count,
+        }
+        return new_state, info
+
+    return step
+
+
+def init_state(problem, option):
+    y0 = jnp.asarray(problem.y0)
+    z0 = jnp.asarray(problem.z0)
+    return RsqoState(
+        x=problem.x0, y=y0, z=z0,
+        rho=jnp.asarray(option["rho"], dtype=y0.dtype if y0.size else jnp.asarray(1.0).dtype),
+    )
+
+
+class RSQO:
+    def __init__(self, option=None):
+        self.option = merge_options(default_option(), option or {})
+        self.name = (
+            f"RSQO_{self.option['quadoptim_type']}_corr"
+            f"{self.option['quadoptim_eigvalcorr']:.0e}"
+        )
+
+    def run(self, problem) -> Output:
+        option = self.option
+        maybe_wandb_init(option, self.name)
+        log = LogAccumulator()
+        clock = WallClock(option["maxtime"])
+        step = jax.jit(make_step(problem, option))
+        state = init_state(problem, option)
+        eval_fn = jax.jit(lambda xp, st: evaluation(problem, xp, st.x, st.y, st.z))
+
+        info = {}
+        x_prev = state.x
+        iteration = 0
+        stop_reason = None
+        while True:
+            try:
+                ev = eval_fn(x_prev, state)
+            except Exception as e:
+                if option["do_exit_on_error"]:
+                    print(f"Error: {e}")
+                    break
+                raise
+            status = {"rho": state.rho}
+            status["maxabsLagmult"] = float(
+                max(
+                    [abs(float(v)) for v in jnp.atleast_1d(state.y)]
+                    + [abs(float(v)) for v in jnp.atleast_1d(state.z)],
+                    default=float("-inf"),
+                )
+            )
+            for key in (
+                "upsilon", "quadoptim_status", "quadoptim_iter", "quadoptim_gap",
+                "quadoptim_primalinfeasibility", "quadoptim_dualinfeasibility",
+                "normdx", "stepsize", "df0", "linesearch_status",
+                "linesearch_counter",
+            ):
+                status[key] = info.get(key)
+            run_time = 0.0 if iteration == 0 else clock.elapsed()
+            log.add(iteration, run_time, ev, status)
+            maybe_wandb_log(option, {k: float(v) for k, v in ev.items()} | {"time": run_time})
+
+            residual = float(ev["residual"])
+            x_prev = state.x
+            if residual <= option["tolresid"]:
+                stop_reason = (
+                    f"KKT residual tolerance reached; current residual={residual} "
+                    f"and tolresid={option['tolresid']}"
+                )
+                break
+            if clock.exceeded():
+                stop_reason = (
+                    f"Max time exceeded; runtime={clock.elapsed():.2f} and "
+                    f"maxtime={option['maxtime']}"
+                )
+                break
+            if iteration >= option["maxiter"]:
+                stop_reason = (
+                    f"Max iteration count reached; maxiter={option['maxiter']} "
+                    f"after {clock.elapsed():.2f} seconds"
+                )
+                break
+            iteration += 1
+            try:
+                state, info = step(state)
+            except Exception as e:
+                if option["do_exit_on_error"]:
+                    print(f"Error: {e}")
+                    break
+                raise
+
+        self.option["stoppingcriterion"] = stop_reason
+        maybe_wandb_finish(option)
+        opt_out = {k: v for k, v in self.option.items() if not callable(v)}
+        return Output(
+            name=self.name,
+            x=state.x,
+            ineqLagmult=state.y,
+            eqLagmult=state.z,
+            option=copy.deepcopy(opt_out),
+            log=log.as_dict(),
+        )
