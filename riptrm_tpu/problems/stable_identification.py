@@ -1,0 +1,294 @@
+"""Stable LTI system identification on Product(SkewSymmetric, SPD, SPD).
+
+x = (J, R, Q); A = (J - R) Q must be stable; cost is the one-step
+prediction error over concatenated trajectories.
+
+Parity targets: ``/root/reference/src/StableIdentification/coordinator.py``
+(manifold :34-46, cost :49-100, constraints from constset.csv :102-152),
+``generator.py`` (true system :57-66, constraint synthesis :68-113,
+trajectory simulation with AWGN :115-135, RALM-based interior initial
+points :137-223) and ``simulator.py`` (skew/symmetry/PD manifold violation
+:11-33).
+
+TPU-first: the heterogeneous constraint list (onebox pairs + twobox
+quadratics) becomes ONE stacked function driven by per-constraint
+kind/row/col/param arrays gathered from A — ordering identical to the
+reference's append order so multipliers align for parity checks.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from riptrm_tpu.manifolds import Product, SkewSymmetric, SymmetricPositiveDefinite
+from riptrm_tpu.problems.problem import Problem
+from riptrm_tpu.utils.io import loadtxt
+
+KIND_LS = 0  # -A[r,c] + p1 <= 0
+KIND_RS = 1  # A[r,c] - p2 <= 0
+KIND_TWO = 2  # -(A[r,c] - p1)^2 + p2^2 <= 0
+
+
+def parse_constset(constset, interior_scaling: float = 1.0):
+    """Expand constset rows into per-constraint arrays, preserving the
+    reference's append order (``coordinator.py:132-152``).
+
+    Each constset row: [type, row, col, p3, p4, (Aval)].
+    type 0/1 -> onebox pair (ls then rs); type 2 -> twobox single.
+    ``interior_scaling`` reproduces the generator's tightened constraints
+    (``generator.py:274-292``).
+    """
+    constset = np.atleast_2d(np.asarray(constset))
+    kinds, rows, cols, p1s, p2s = [], [], [], [], []
+    for row in constset:
+        t = int(row[0])
+        r, c = int(row[1]), int(row[2])
+        if t in (0, 1):
+            ls = row[3] * interior_scaling
+            rs = row[4] * interior_scaling
+            kinds += [KIND_LS, KIND_RS]
+            rows += [r, r]
+            cols += [c, c]
+            p1s += [ls, 0.0]
+            p2s += [0.0, rs]
+        elif t == 2:
+            cc = row[3]
+            k = row[4] * (1.0 + (1.0 - interior_scaling))
+            kinds.append(KIND_TWO)
+            rows.append(r)
+            cols.append(c)
+            p1s.append(cc)
+            p2s.append(k)
+        else:
+            raise ValueError(f"Invalid constraint type {t}")
+    return (
+        np.asarray(kinds, dtype=np.int32),
+        np.asarray(rows, dtype=np.int32),
+        np.asarray(cols, dtype=np.int32),
+        np.asarray(p1s),
+        np.asarray(p2s),
+    )
+
+
+def _split_xxp(x_full):
+    return x_full[:, :-1], x_full[:, 1:]
+
+
+def make_problem(
+    d: int,
+    x_trajs,  # list of [d, N] trajectory arrays
+    constset,
+    x0,  # (J, R, Q) tuple
+    y0=None,
+    h: float = 0.02,
+    interior_scaling: float = 1.0,
+    cost_zero: bool = False,
+    dtype=None,
+) -> Problem:
+    man = Product(
+        [SkewSymmetric(d), SymmetricPositiveDefinite(d), SymmetricPositiveDefinite(d)]
+    )
+    xs, xps = [], []
+    for xt in x_trajs:
+        a, b = _split_xxp(np.asarray(xt))
+        xs.append(a)
+        xps.append(b)
+    X = jnp.asarray(np.hstack(xs), dtype=dtype) if xs else jnp.zeros((d, 0))
+    XP = jnp.asarray(np.hstack(xps), dtype=dtype) if xps else jnp.zeros((d, 0))
+    n_cols = X.shape[1]
+
+    kinds, rows, cols, p1s, p2s = parse_constset(constset, interior_scaling)
+    kinds_j = jnp.asarray(kinds)
+    rows_j = jnp.asarray(rows)
+    cols_j = jnp.asarray(cols)
+    p1_j = jnp.asarray(p1s, dtype=dtype)
+    p2_j = jnp.asarray(p2s, dtype=dtype)
+    m = len(kinds)
+
+    eye = jnp.eye(d, dtype=dtype)
+
+    def cost(x):
+        J, R, Q = x
+        if cost_zero:
+            # feasibility problem used by the initial-point generator
+            # (generator.py:238-243); tiny quadratic keeps AD well-defined
+            return 0.0 * jnp.sum(J**2)
+        A = (J - R) @ Q
+        resid = XP - (eye + h * A) @ X
+        return jnp.sum(resid * resid) / n_cols
+
+    def ineq(x):
+        J, R, Q = x
+        A = (J - R) @ Q
+        a = A[rows_j, cols_j]
+        ls_val = -a + p1_j
+        rs_val = a - p2_j
+        two_val = -((a - p1_j) ** 2) + p2_j**2
+        return jnp.where(
+            kinds_j == KIND_LS, ls_val, jnp.where(kinds_j == KIND_RS, rs_val, two_val)
+        )
+
+    def manvio(x):
+        # simulator.py:11-33
+        J, R, Q = x
+        v = (
+            jnp.linalg.norm(J + J.T)
+            + jnp.linalg.norm(R - R.T)
+            + jnp.linalg.norm(Q - Q.T)
+        )
+        pd_ok = (jnp.min(jnp.linalg.eigvalsh(0.5 * (R + R.T))) > 0) & (
+            jnp.min(jnp.linalg.eigvalsh(0.5 * (Q + Q.T))) > 0
+        )
+        return jnp.where(pd_ok, v, jnp.inf)
+
+    x0 = tuple(jnp.asarray(a, dtype=dtype) for a in x0)
+    if y0 is None:
+        y0 = jnp.ones((m,), dtype=x0[0].dtype)
+    else:
+        y0 = jnp.asarray(y0, dtype=x0[0].dtype)
+
+    return Problem(
+        manifold=man,
+        cost=cost,
+        ineq=ineq,
+        x0=x0,
+        y0=y0,
+        z0=jnp.zeros((0,), dtype=x0[0].dtype),
+        num_ineq=m,
+        num_eq=0,
+        manvio=manvio,
+    )
+
+
+def load_problem(
+    dataset_path: str,
+    initialpoint: str = "a",
+    x_set=(1, 2, 3, 4, 5),
+    is_x_noisy: bool = True,
+    h: float = 0.02,
+    dtype=None,
+) -> Problem:
+    """Load a shipped instance (``coordinator.py:14-179``)."""
+    d = int(loadtxt(f"{dataset_path}/dim.csv"))
+    prefix = "noisyX" if is_x_noisy else "X"
+    x_trajs = [loadtxt(f"{dataset_path}/{prefix}_{i}.csv") for i in x_set]
+    constset = loadtxt(f"{dataset_path}/constset.csv")
+    x0 = (
+        loadtxt(f"{dataset_path}/initJ_{initialpoint}.csv"),
+        loadtxt(f"{dataset_path}/initR_{initialpoint}.csv"),
+        loadtxt(f"{dataset_path}/initQ_{initialpoint}.csv"),
+    )
+    y0 = loadtxt(f"{dataset_path}/initineqLagmult.csv")
+    return make_problem(d, x_trajs, constset, x0, y0, h=h, dtype=dtype)
+
+
+# ----------------------------------------------------------------------
+# Dataset generation (generator.py parity)
+# ----------------------------------------------------------------------
+def generate_true_system(key, d: int, scaling: float = 1.0):
+    """``generate_trueJRQA`` (generator.py:57-66)."""
+    man = Product([SkewSymmetric(d), SymmetricPositiveDefinite(d), SymmetricPositiveDefinite(d)])
+    sqrt_s = math.sqrt(scaling)
+    J, R, Q = man.random_point(key)
+    J, R, Q = sqrt_s * J, sqrt_s * R, sqrt_s * Q
+    A = (J - R) @ Q
+    return np.asarray(J), np.asarray(R), np.asarray(Q), np.asarray(A)
+
+
+def generate_constraints(rng, d: int, true_A, oneboxratio: float, twoboxratio: float):
+    """``generate_constraints`` (generator.py:68-113).  Uses numpy RNG on the
+    host — dataset generation is not a hot path."""
+    true_A = np.asarray(true_A)
+    num_element = true_A.size
+    num_onebox = int(num_element * oneboxratio)
+    num_twobox = int(num_element * twoboxratio)
+    num_const = num_onebox + num_twobox
+    constindices = rng.permutation(num_element)[:num_const]
+    rowcol = np.stack([constindices % d, constindices // d], axis=1)
+
+    constset = []
+    for i in range(num_onebox):
+        r, c = rowcol[i]
+        aval = true_A[r, c]
+        absa = abs(aval)
+        ls = aval - rng.uniform(0.2, 0.8) * absa
+        rs = aval + rng.uniform(0.2, 0.8) * absa
+        constset.append([0, r, c, ls, rs, aval])
+    for i in range(num_onebox, num_const):
+        r, c = rowcol[i]
+        aval = true_A[r, c]
+        absa = abs(aval)
+        cc = rng.uniform(0.2, 0.8) * aval
+        k = cc + rng.uniform(0.2, 0.8) * (aval - cc)
+        ls = -absa - rng.uniform(0.2, 0.8) * absa
+        rs = absa + rng.uniform(0.2, 0.8) * absa
+        constset.append([1, r, c, ls, rs, aval])
+        constset.append([2, r, c, cc, k, aval])
+    return np.asarray(constset)
+
+
+def _awgn(rng, signal, snr_db):
+    power = np.mean(np.abs(signal) ** 2)
+    noise_power = power / (10 ** (snr_db / 10))
+    return signal + np.sqrt(noise_power) * rng.standard_normal(signal.shape)
+
+
+def generate_trajectory(rng, d: int, true_A, h: float, n_steps: int, snr: float):
+    """``generate_XnoisyX`` (generator.py:122-135).  NOTE: the reference
+    applies *elementwise* ``np.exp`` to ``i*h*A`` (not a matrix
+    exponential); we reproduce that data-generating process exactly."""
+    x0 = -1000 + 2000 * rng.random(d)
+    X = np.zeros((d, n_steps))
+    noisyX = np.zeros((d, n_steps))
+    X[:, 0] = x0
+    noisyX[:, 0] = _awgn(rng, x0, snr)
+    for i in range(1, n_steps):
+        expAh = np.exp(i * h * np.asarray(true_A))
+        X[:, i] = expAh @ x0
+        noisyX[:, i] = _awgn(rng, X[:, i], snr)
+    X = X / np.linalg.norm(x0)
+    noisyX = noisyX / np.linalg.norm(noisyX[:, 0])
+    return X, noisyX
+
+
+def generate_interior_initialpoint(
+    key,
+    d: int,
+    constset,
+    scaling: float = 1.0,
+    interior_scaling: float = 0.95,
+    ralm_option=None,
+    max_tries: int = 10,
+):
+    """RALM-based feasible-interior initial point search
+    (``generator.py:137-223``): random start, solve a feasibility problem
+    with tightened constraints, retry until the resulting A is stable and
+    strictly interior for the original constraints."""
+    from riptrm_tpu.solvers.ralm import RALM
+
+    man = Product([SkewSymmetric(d), SymmetricPositiveDefinite(d), SymmetricPositiveDefinite(d)])
+    sqrt_s = math.sqrt(scaling)
+    option = {"maxtime": 100, "maxiter": 4, "tolresid": 1e-2, "verbosity": 0}
+    option.update(ralm_option or {})
+
+    for attempt in range(max_tries):
+        key, sub = jax.random.split(key)
+        J, R, Q = man.random_point(sub)
+        x_start = (sqrt_s * J, sqrt_s * R, sqrt_s * Q)
+        problem = make_problem(
+            d, [], constset, x_start, h=0.02,
+            interior_scaling=interior_scaling, cost_zero=True,
+        )
+        out = RALM(option).run(problem)
+        Jf, Rf, Qf = (np.asarray(a) for a in out.x)
+        A = (Jf - Rf) @ Qf
+        stable = np.all(np.real(np.linalg.eigvals(A)) < 0)
+        orig = make_problem(d, [], constset, (Jf, Rf, Qf), cost_zero=True)
+        interior = bool(np.all(np.asarray(orig.ineq_val(orig.x0)) <= 0))
+        if stable and interior:
+            return Jf, Rf, Qf, A
+    raise ValueError("Cannot find a feasible and interior initial point.")

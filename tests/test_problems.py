@@ -1,0 +1,152 @@
+"""Problem-construction and derived-operator tests vs finite differences."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from riptrm_tpu.problems import nonneg_pca, rosenbrock
+from riptrm_tpu.problems import stable_identification as si
+
+
+@pytest.fixture(scope="module")
+def pca():
+    return nonneg_pca.load_problem("dataset/NonnegPCA/1", "a")
+
+
+@pytest.fixture(scope="module")
+def rosen():
+    return rosenbrock.make_problem(5, 3, alpha=1e7)
+
+
+@pytest.fixture(scope="module")
+def stable():
+    return si.load_problem("dataset/StableIdentification/1", "a")
+
+
+def test_pca_shapes(pca):
+    assert pca.num_ineq == 50
+    assert pca.manifold.dim == 49
+    g = pca.ineq_val(pca.x0)
+    assert g.shape == (50,)
+    assert bool(jnp.all(g <= 0))  # shipped initial point is feasible
+
+
+def test_pca_constraint_is_negation(pca):
+    x = pca.x0
+    np.testing.assert_allclose(np.asarray(pca.ineq_val(x)), -np.asarray(x))
+    np.testing.assert_allclose(np.asarray(pca.slack(x)), np.asarray(x))
+
+
+def test_gx_adj_is_differential(pca):
+    """gx_adj must equal the directional derivative of the slack c = -g."""
+    man = pca.manifold
+    x = pca.x0
+    v = man.random_tangent(jax.random.PRNGKey(0), x)
+    lhs = np.asarray(pca.gx_adj(x, v))
+    eps = 1e-7
+    x_plus = x + eps * v  # ambient step fine for directional derivative
+    fd = (np.asarray(pca.slack(x_plus)) - np.asarray(pca.slack(x))) / eps
+    np.testing.assert_allclose(lhs, fd, atol=1e-5)
+
+
+def test_gx_gx_adj_adjointness(pca):
+    """<Gx(v), dx>_x == <v, Gxaj(dx)> — Gx and Gxaj are adjoint maps."""
+    man = pca.manifold
+    x = pca.x0
+    dx = man.random_tangent(jax.random.PRNGKey(1), x)
+    v = jax.random.normal(jax.random.PRNGKey(2), (pca.num_ineq,))
+    lhs = float(man.inner(x, pca.gx(x, v), dx))
+    rhs = float(jnp.vdot(v, pca.gx_adj(x, dx)))
+    assert lhs == pytest.approx(rhs, rel=1e-10)
+
+
+def test_lag_rhess_matches_fd(pca):
+    """Lagrangian HVP vs finite differences of the Lagrangian gradient."""
+    man = pca.manifold
+    x = pca.x0
+    y = jnp.abs(jax.random.normal(jax.random.PRNGKey(3), (pca.num_ineq,)))
+    v = man.random_tangent(jax.random.PRNGKey(4), x)
+    hv = pca.lag_rhess(x, y, v)
+    # directional derivative of the *euclidean* gradient, then convert
+    eps = 1e-6
+    eg = lambda xx: jax.grad(lambda p: pca.cost(p) + y @ pca.ineq(p))(xx)
+    eh_fd = (eg(x + eps * v) - eg(x - eps * v)) / (2 * eps)
+    expected = man.ehess2rhess(x, eg(x), eh_fd, v)
+    np.testing.assert_allclose(np.asarray(hv), np.asarray(expected), atol=1e-5)
+
+
+def test_rosenbrock_cost_matches_loop(rosen):
+    x = rosen.x0
+    v = np.asarray(x).flatten()
+    alpha = 1e7
+    expected = sum(
+        alpha * (v[i + 1] - v[i]) ** 2 + (1 - v[i]) ** 2 for i in range(len(v) - 1)
+    )
+    assert float(rosen.cost(x)) == pytest.approx(expected, rel=1e-12)
+
+
+def test_rosenbrock_second_order_residual_runs(rosen):
+    mineig, cond = rosenbrock.second_order_residual(
+        rosen, rosen.x0, rosen.y0, jnp.zeros((0,))
+    )
+    assert np.isfinite(float(mineig))
+
+
+def test_stable_constset_ordering(stable):
+    """Constraint count and ordering: 2 per onebox row (types 0/1), 1 per
+    twobox row (type 2), in constset row order."""
+    constset = np.loadtxt("dataset/StableIdentification/1/constset.csv")
+    expected_m = sum(2 if int(r[0]) in (0, 1) else 1 for r in np.atleast_2d(constset))
+    assert stable.num_ineq == expected_m == 16
+    assert stable.manifold.dim == 40
+
+
+def test_stable_constraints_match_manual(stable):
+    constset = np.atleast_2d(np.loadtxt("dataset/StableIdentification/1/constset.csv"))
+    J, R, Q = (np.asarray(a) for a in stable.x0)
+    A = (J - R) @ Q
+    expected = []
+    for row in constset:
+        t, r, c = int(row[0]), int(row[1]), int(row[2])
+        if t in (0, 1):
+            expected.append(-A[r, c] + row[3])
+            expected.append(A[r, c] - row[4])
+        else:
+            expected.append(-((A[r, c] - row[3]) ** 2) + row[4] ** 2)
+    np.testing.assert_allclose(
+        np.asarray(stable.ineq_val(stable.x0)), np.asarray(expected), rtol=1e-12
+    )
+
+
+def test_stable_cost_matches_manual(stable):
+    # one-step prediction error over concatenated noisy trajectories
+    h = 0.02
+    xs, xps = [], []
+    for i in range(1, 6):
+        xt = np.loadtxt(f"dataset/StableIdentification/1/noisyX_{i}.csv")
+        xs.append(xt[:, :-1])
+        xps.append(xt[:, 1:])
+    X = np.hstack(xs)
+    XP = np.hstack(xps)
+    J, R, Q = (np.asarray(a) for a in stable.x0)
+    A = (J - R) @ Q
+    resid = XP - (np.eye(5) + h * A) @ X
+    expected = np.trace(resid @ resid.T) / X.shape[1]
+    assert float(stable.cost(stable.x0)) == pytest.approx(expected, rel=1e-12)
+
+
+def test_stable_generator_pipeline():
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    J, R, Q, A = si.generate_true_system(key, 3)
+    np.testing.assert_allclose(J, -J.T, atol=1e-12)
+    assert np.min(np.linalg.eigvalsh(R)) > 0
+    constset = si.generate_constraints(rng, 3, A, 0.2, 0.1)
+    assert constset.shape[1] == 6
+    X, noisyX = si.generate_trajectory(rng, 3, A, 0.02, 10, 10.0)
+    assert X.shape == (3, 10)
+    assert np.isfinite(noisyX).all()
+    # generated constraints hold at the true system (interior by design)
+    p = si.make_problem(3, [X], constset, (J, R, Q))
+    assert bool(jnp.all(p.ineq_val(p.x0) <= 1e-9))

@@ -1,0 +1,116 @@
+"""Solver-level regression tests on the shipped golden datasets
+(SURVEY.md §4: deterministic inputs are the golden fixtures)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from riptrm_tpu.ops.kkt import compute_residual
+from riptrm_tpu.problems import nonneg_pca
+from riptrm_tpu.solvers.ralm import RALM
+from riptrm_tpu.solvers.ripm import RIPM
+from riptrm_tpu.solvers.riptrm import RIPTRM, init_state
+from riptrm_tpu.solvers.rsqo import RSQO
+
+OPT_COMMON = {"maxtime": 120, "maxiter": 30, "verbosity": 0}
+
+
+@pytest.fixture(scope="module")
+def pca():
+    return nonneg_pca.load_problem("dataset/NonnegPCA/1", "a")
+
+
+def _final_residual(out):
+    return out.log["residual"][-1]
+
+
+class TestRIPTRM:
+    def test_tcg_converges(self, pca):
+        out = RIPTRM(
+            OPT_COMMON | {"tolresid": 1e-8, "TRS_solver": "tCG", "second_order_stationarity": False}
+        ).run(pca)
+        assert _final_residual(out) <= 1e-8
+        x = np.asarray(out.x)
+        assert abs(np.linalg.norm(x) - 1) < 1e-12  # on-sphere
+        assert x.min() > -1e-12  # feasible
+        assert np.asarray(out.ineqLagmult).min() > 0  # dual feasible
+        # optimum value regression (shared across all four solvers)
+        assert out.log["cost"][-1] == pytest.approx(-1.537809, abs=1e-4)
+
+    def test_exact_second_order_converges(self, pca):
+        out = RIPTRM(
+            OPT_COMMON
+            | {"tolresid": 1e-6, "TRS_solver": "Exact_RepMat", "second_order_stationarity": True}
+        ).run(pca)
+        assert _final_residual(out) <= 1e-6
+        # second-order certificate: last logged min eig of Hw nonnegative-ish
+        mineigs = [v for v in out.log["mineigvalHw"] if v is not None]
+        assert mineigs[-1] > -1e-6
+
+    def test_compiled_matches_host(self, pca):
+        opt = {"maxiter": 40, "tolresid": 1e-9, "TRS_solver": "tCG", "second_order_stationarity": False}
+        solver = RIPTRM(OPT_COMMON | opt)
+        solve = jax.jit(solver.solve_compiled(pca, max_steps=600))
+        state, k = solve(init_state(pca, solver.option))
+        res = float(compute_residual(pca, state.x, state.y, jnp.zeros((0,)))[0])
+        assert res <= 1e-9
+
+    def test_barrier_schedule(self, pca):
+        out = RIPTRM(
+            OPT_COMMON | {"maxiter": 4, "tolresid": 0, "TRS_solver": "tCG", "second_order_stationarity": False}
+        ).run(pca)
+        mus = sorted(set(out.log["mu"][1:]), reverse=True)
+        # mu follows max(1e-15, 0.5 * mu^1.01) from 0.1
+        expected = [0.1]
+        for _ in range(3):
+            expected.append(max(1e-15, 0.5 * expected[-1] ** 1.01))
+        np.testing.assert_allclose(mus[: len(expected)], expected, rtol=1e-12)
+
+
+class TestRIPM:
+    def test_converges_with_nt_check(self, pca):
+        out = RIPM(OPT_COMMON | {"tolresid": 1e-6, "checkNTequation": True}).run(pca)
+        assert _final_residual(out) <= 1e-6
+        errs = [v for v in out.log["NTdir_error1"] if v is not None]
+        assert max(errs) < 1e-10  # Newton system solved exactly
+        assert out.log["cost"][-1] == pytest.approx(-1.537809, abs=1e-4)
+
+    def test_krylov_mode(self, pca):
+        out = RIPM(
+            OPT_COMMON | {"tolresid": 1e-6, "KrylovIterMethod": True}
+        ).run(pca)
+        assert _final_residual(out) <= 1e-6
+
+
+class TestRSQO:
+    def test_converges(self, pca):
+        out = RSQO(OPT_COMMON | {"tolresid": 1e-8, "quadoptim_eigvalcorr": 1e-2}).run(pca)
+        assert _final_residual(out) <= 1e-8
+        assert out.log["cost"][-1] == pytest.approx(-1.537809, abs=1e-4)
+
+
+class TestRALM:
+    def test_reaches_stationarity(self, pca):
+        out = RALM(OPT_COMMON | {"maxiter": 15, "tolresid": 1e-4}).run(pca)
+        assert min(out.log["residual"]) <= 1e-3
+        assert out.log["cost"][-1] == pytest.approx(-1.537809, abs=1e-3)
+
+    def test_unbounded_multipliers(self, pca):
+        out = RALM(
+            OPT_COMMON | {"maxiter": 8, "tolresid": 1e-4, "LagmultUnbdUpdate": True}
+        ).run(pca)
+        assert np.isfinite(out.log["residual"][-1])
+
+
+def test_all_solvers_agree_on_optimum(pca):
+    """Cross-solver consistency: same optimum from four different methods."""
+    costs = []
+    for solver in (
+        RIPTRM(OPT_COMMON | {"maxiter": 20, "tolresid": 1e-7, "TRS_solver": "tCG", "second_order_stationarity": False}),
+        RIPM(OPT_COMMON | {"maxiter": 25, "tolresid": 1e-7}),
+        RSQO(OPT_COMMON | {"maxiter": 15, "tolresid": 1e-7, "quadoptim_eigvalcorr": 1e-2}),
+    ):
+        out = solver.run(pca)
+        costs.append(out.log["cost"][-1])
+    assert max(costs) - min(costs) < 1e-5
