@@ -1,0 +1,167 @@
+"""Benchmark: RIPTRM hot path on NonnegPCA n=1000 (BASELINE.json north star).
+
+Measures on the default JAX device (the real TPU chip under the driver):
+  1. tCG matvecs/s — chained barrier-Hessian matvecs inside one jit
+     (the per-iteration hot op, ``RIPTRM.py:729``)
+  2. compiled full-solve inner steps/s and outer iters/s
+vs_baseline: the same chained matvec implemented in NumPy on the host CPU —
+the reference's compute substrate (pure NumPy/autograd per SURVEY §2) —
+measured in this same run, since the reference repo publishes no numbers
+(BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+N = 1000
+MATVEC_CHAIN = 512
+SOLVE_STEPS = 400
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from riptrm_tpu.problems import nonneg_pca
+    from riptrm_tpu.solvers.riptrm import RIPTRM, _barrier_ops, init_state
+
+    dtype = jnp.float32
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    data = nonneg_pca.generate_instance(k1, N)
+    x0 = np.abs(np.asarray(jax.random.normal(k2, (N,))))
+    x0 = x0 / np.linalg.norm(x0)
+    problem = nonneg_pca.make_problem(data["Z"], x0, dtype=dtype)
+
+    option = {
+        "maxiter": 60,
+        "tolresid": 3e-4,
+        "TRS_solver": "tCG",
+        "second_order_stationarity": False,
+    }
+    solver = RIPTRM(option)
+    state0 = init_state(problem, solver.option)
+
+    # ---- 1. chained tCG matvecs (barrier-Hessian applications) ----------
+    x = state0.x
+    y = state0.y
+    mu = state0.mu
+
+    def chain(v0):
+        _, hw, _ = _barrier_ops(problem, x, y, mu)
+
+        def body(v, _):
+            w = hw(v)
+            w = w / jnp.linalg.norm(w)
+            return w, ()
+
+        v, _ = jax.lax.scan(body, v0, None, length=MATVEC_CHAIN)
+        return v
+
+    v0 = jnp.asarray(problem.manifold.random_tangent(jax.random.PRNGKey(2), x), dtype)
+    chain_jit = jax.jit(chain)
+    chain_jit(v0).block_until_ready()  # compile
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        v0 = chain_jit(v0)
+    v0.block_until_ready()
+    t_matvec = (time.perf_counter() - t0) / (reps * MATVEC_CHAIN)
+    xla_matvecs_per_s = 1.0 / t_matvec
+
+    # Pallas VMEM-resident chain (Z loaded from HBM once per chain)
+    pallas_matvecs_per_s = None
+    try:
+        from riptrm_tpu.ops.pallas_kernels import chained_barrier_matvec
+
+        zs = jnp.asarray(0.5 * (data["Z"] + data["Z"].T), dtype)
+        c_slack = problem.slack(x)
+        pj = jax.jit(
+            lambda v: chained_barrier_matvec(zs, x, y / c_slack, v, MATVEC_CHAIN)
+        )
+        vp = pj(v0)
+        vp.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            vp = pj(vp)
+        vp.block_until_ready()
+        pallas_matvecs_per_s = reps * MATVEC_CHAIN / (time.perf_counter() - t0)
+    except Exception:
+        pass  # non-TPU backend: report the XLA path only
+
+    matvecs_per_s = max(xla_matvecs_per_s, pallas_matvecs_per_s or 0.0)
+
+    # ---- 2. compiled full solve -----------------------------------------
+    solve = jax.jit(solver.solve_compiled(problem, max_steps=SOLVE_STEPS))
+    st, k = solve(state0)
+    jax.block_until_ready(st)  # compile+run
+    t0 = time.perf_counter()
+    st, k = solve(state0)
+    jax.block_until_ready(st)
+    t_solve = time.perf_counter() - t0
+    inner_steps = int(k)
+    outer_iters = int(st.outer_iter)
+    inner_per_s = inner_steps / t_solve
+    outer_per_s = outer_iters / t_solve
+
+    # ---- 3. NumPy host baseline for the same chained matvec -------------
+    z_np = np.asarray(data["Z"], dtype=np.float64)
+    x_np = np.asarray(x, dtype=np.float64)
+    y_np = np.asarray(y, dtype=np.float64)
+    c_np = x_np.copy()  # slack = x for NonnegPCA
+    v = np.asarray(problem.manifold.random_tangent(jax.random.PRNGKey(3), x))
+
+    zs = z_np + z_np.T  # hoisted so the baseline pays one matvec per call
+    eg = -zs @ x_np
+
+    def hw_np(dx):
+        # ehess f = -2 Z dx; rhess = proj(ehess) - (x.egrad) dx; barrier term
+        eh = -zs @ dx
+        rh = eh - np.dot(x_np, eh) * x_np - np.dot(x_np, eg) * dx
+        gxaj = -(-dx)  # d/dt slack = dx ... slack = x so Gxaj(dx) = dx
+        w = y_np * gxaj / c_np
+        bar = w - np.dot(x_np, w) * x_np  # proj of sum w_i * e_i
+        return rh + bar
+
+    n_np = 64
+    t0 = time.perf_counter()
+    for _ in range(n_np):
+        v = hw_np(v)
+        v = v / np.linalg.norm(v)
+    t_np = (time.perf_counter() - t0) / n_np
+    np_matvecs_per_s = 1.0 / t_np
+
+    result = {
+        "metric": "riptrm_tcg_matvecs_per_sec_nonnegpca_n1000",
+        "value": round(matvecs_per_s, 1),
+        "unit": "matvec/s",
+        "vs_baseline": round(matvecs_per_s / np_matvecs_per_s, 2),
+        "extras": {
+            "xla_chain_matvecs_per_sec": round(xla_matvecs_per_s, 1),
+            "pallas_chain_matvecs_per_sec": (
+                round(pallas_matvecs_per_s, 1) if pallas_matvecs_per_s else None
+            ),
+            "inner_steps_per_sec": round(inner_per_s, 2),
+            "outer_iters_per_sec": round(outer_per_s, 2),
+            "inner_steps": inner_steps,
+            "outer_iters": outer_iters,
+            "final_kkt_residual": float(
+                __import__("riptrm_tpu.ops.kkt", fromlist=["compute_residual"]).compute_residual(
+                    problem, st.x, st.y, jnp.zeros((0,))
+                )[0]
+            ),
+            "numpy_host_matvecs_per_sec": round(np_matvecs_per_s, 1),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Parallel sweep execution: vmap within a chip, shard_map across the mesh.
+
+The reference's only concurrency is Hydra multirun forking one OS process
+per (instance, initial point, solver) combination (SURVEY.md §2.3).  The
+TPU-native equivalent: the sweep axes become a *batch axis* —
+
+* ``vmap`` batches whole compiled solves over stacked initial points on one
+  chip (the solver state machines are pure, so masked lockstep batching is
+  free);
+* ``shard_map`` over a ``Mesh`` axis ``dp`` distributes the batch across
+  chips, with convergence-stat reductions riding ICI collectives;
+* for large single instances, problem data (e.g. NonnegPCA's Z matrix) is
+  sharded over a ``tp`` axis with ``NamedSharding`` so XLA partitions the
+  Hessian-vector matvecs and inserts the collectives.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from riptrm_tpu.ops.kkt import compute_residual
+from riptrm_tpu.solvers.riptrm import RIPTRM, RiptrmState, init_state
+
+
+def make_mesh(axis_sizes: dict, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    names = tuple(axis_sizes)
+    sizes = tuple(axis_sizes[n] for n in names)
+    n_needed = int(np.prod(sizes))
+    mesh_devices = np.asarray(devices[:n_needed]).reshape(sizes)
+    return Mesh(mesh_devices, names)
+
+
+def init_state_from(problem, option, x0, y0) -> RiptrmState:
+    """RIPTRM initial state for an arbitrary start (vmappable)."""
+    base = init_state(problem, option)
+    return base._replace(x=x0, y=y0, inner_x0=x0, inner_y0=y0)
+
+
+def batched_riptrm_solve(problem, option, max_steps: int):
+    """vmapped compiled RIPTRM solve over stacked (x0, y0).
+
+    Returns a jitted function (xs0, ys0) -> (final states, steps, residuals).
+    Divergent per-instance convergence is handled by each lane's
+    while_loop running to its own stop (batched lanes run in lockstep to
+    the slowest — the masked-batching tradeoff called out in SURVEY §7).
+    """
+    solver = RIPTRM(option)
+    solve = solver.solve_compiled(problem, max_steps)
+
+    def one(x0, y0):
+        state, k = solve(init_state_from(problem, solver.option, x0, y0))
+        res = compute_residual(problem, state.x, state.y, jnp.zeros((0,)))[0]
+        return state, k, res
+
+    return jax.jit(jax.vmap(one))
+
+
+def sharded_riptrm_solve(problem, option, max_steps: int, mesh: Mesh, axis: str = "dp"):
+    """shard_map of the vmapped solve over a mesh axis.
+
+    xs0/ys0 leading (batch) dimension must be divisible by the axis size.
+    Residuals are returned fully replicated via an all_gather so every host
+    can act on global convergence stats.
+    """
+    solver = RIPTRM(option)
+    solve = solver.solve_compiled(problem, max_steps)
+
+    def one(x0, y0):
+        state, k = solve(init_state_from(problem, solver.option, x0, y0))
+        res = compute_residual(problem, state.x, state.y, jnp.zeros((0,)))[0]
+        return state.x, state.y, k, res
+
+    vone = jax.vmap(one)
+
+    def shard_fn(xs0, ys0):
+        xs, ys, ks, res = vone(xs0, ys0)
+        res_all = jax.lax.all_gather(res, axis, tiled=True)
+        return xs, ys, ks, res_all
+
+    spec = P(axis)
+    # check_vma=False: solver while_loop carries start from literal
+    # (device-invariant) values; the varying-manual-axes check would force
+    # pvary noise through every carry component.
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=(spec, spec, spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def run_sweep(problem, option, xs0, ys0, *, max_steps=2000, mesh=None, axis="dp"):
+    """Convenience wrapper: sharded when a mesh is given, else vmapped."""
+    xs0 = jnp.asarray(xs0)
+    ys0 = jnp.asarray(ys0)
+    if mesh is None:
+        fn = batched_riptrm_solve(problem, option, max_steps)
+        states, ks, res = fn(xs0, ys0)
+        return states.x, states.y, ks, res
+    fn = sharded_riptrm_solve(problem, option, max_steps, mesh, axis)
+    return fn(xs0, ys0)

@@ -149,3 +149,35 @@ class Problem:
     def hx_adj(self, x, dx):
         _, dh = jax.jvp(self.eq, (x,), (dx,))
         return dh
+
+    # ------------------------------------------------------------------
+    # Point-frozen operator factories (hot-loop form).
+    #
+    # ``jax.linearize``/``jax.vjp`` compute the point-dependent primal trace
+    # ONCE; the returned closures are tangent-only, so repeated applications
+    # inside tCG / CR / materialization loops carry no redundant work (the
+    # per-call forms above re-trace the primal each application).
+    # ------------------------------------------------------------------
+    def lag_rhess_at(self, x, y, z=None):
+        """Returns dx -> Riemannian Hessian-vector product of L at (x,y,z)."""
+        eg, lin = jax.linearize(lambda xx: jax.grad(self._lag)(xx, y, z), x)
+
+        def hvp(v):
+            return self.manifold.ehess2rhess(x, eg, lin(v), v)
+
+        return hvp
+
+    def gx_adj_at(self, x):
+        """Returns dx -> Gxaj(dx) with the constraint primal frozen."""
+        _, lin = jax.linearize(self.ineq, x)
+        return lambda dx: -lin(dx)
+
+    def gx_at(self, x):
+        """Returns v -> Gx(v) with the constraint pullback frozen."""
+        _, pullback = jax.vjp(self.ineq, x)
+
+        def gx(v):
+            (eg,) = pullback(-v)
+            return self.manifold.egrad2rgrad(x, eg)
+
+        return gx

@@ -148,17 +148,24 @@ def make_step(problem, option):
         phi_cur = _phi(problem, x, fx, fy, fz, fs)
         ehat = jnp.ones((m,), dtype=z.dtype)
 
+        # Point-frozen operators: primal traces computed once per step.
+        lag_hvp = problem.lag_rhess_at(x, z, y)
+        gxaj_lin = problem.gx_adj_at(x)
+        gx_neg = problem.gx_at(x)
+        gx_pos = lambda v: gx_neg(-v)  # RIPM's barGx uses +grad g
+        gxaj_pos = lambda dx: -gxaj_lin(dx)
+
         # Condensed Newton rhs (RIPM.py:480-482)
         c = jax.tree.map(
             lambda a, b: -a - b,
             fx,
-            _gx_pos(problem, x, (z * fz + sigma * rho * ehat - fs) / s),
+            gx_pos((z * fz + sigma * rho * ehat - fs) / s),
         )
         q = -fy
 
         def op_aw(dx):
-            theta = _gx_pos(problem, x, _gxaj_pos(problem, x, dx) * (z / s))
-            return jax.tree.map(lambda a, b: a + b, hess_lag(x, y, z, dx), theta)
+            theta = gx_pos(gxaj_pos(dx) * (z / s))
+            return jax.tree.map(lambda a, b: a + b, lag_hvp(dx), theta)
 
         basis = man.basis(x)
         krylov_iters = jnp.asarray(0)
@@ -206,7 +213,7 @@ def make_step(problem, option):
                 ntdir_y = jnp.zeros((0,), dtype=s.dtype)
 
         # Recover dz, ds (RIPM.py:514-516)
-        gxaj_dx = _gxaj_pos(problem, x, ntdir_x)
+        gxaj_dx = gxaj_pos(ntdir_x)
         ntdir_z = (z * (gxaj_dx + fz) + sigma * rho * ehat - fs) / s
         ntdir_s = (sigma * rho * ehat - fs - s * ntdir_z) / z
 

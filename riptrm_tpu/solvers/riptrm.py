@@ -115,6 +115,7 @@ def default_option():
         "do_simple_barrier_parameter_update": True,
         "const_left": 0.5,
         "const_right": 1e20,
+        "checkTRSoptimality": False,
         "verbosity": 0,
         "save_inner_iteration": True,
         "wandb_logging": False,
@@ -142,17 +143,20 @@ class RiptrmState(NamedTuple):
 
 def _barrier_ops(problem, x, y, mu):
     """Condensed barrier-KKT operator pieces at (x, y, mu)
-    (``RIPTRM.py:727-730``)."""
+    (``RIPTRM.py:727-730``).  Point-dependent primal traces are frozen via
+    ``linearize``/``vjp`` so every Hw application inside the tCG loop is
+    tangent-only work."""
     c = problem.slack(x)
+    lag_hvp = problem.lag_rhess_at(x, y)
+    gx = problem.gx_at(x)
+    gx_adj = problem.gx_adj_at(x)
 
     def hw(dx):
-        lag = problem.lag_rhess(x, y, dx)
-        bar = problem.gx(x, (y * problem.gx_adj(x, dx)) / c)
+        lag = lag_hvp(dx)
+        bar = gx((y * gx_adj(dx)) / c)
         return jax.tree.map(lambda a, b: a + b, lag, bar)
 
-    cx_vec = jax.tree.map(
-        lambda a, b: a - b, problem.rgrad(x), problem.gx(x, mu / c)
-    )
+    cx_vec = jax.tree.map(lambda a, b: a - b, problem.rgrad(x), gx(mu / c))
     return c, hw, cx_vec
 
 
@@ -229,6 +233,33 @@ def make_step(problem, option):
             h_mat, c_vec = state.h_mat, state.c_vec
 
         normdx = man.norm(x, dx)
+
+        # ---- optional TRS optimality self-check (RIPTRM.py:367-388) ----
+        trs_check = {}
+        if option["checkTRSoptimality"]:
+            basis_c = man.basis(x)
+            hm = (
+                h_mat
+                if exact
+                else materialize_symmetrized(man, x, basis_c, hw)
+            )
+            w_ev = jnp.linalg.eigvalsh(hm)
+            mineig_hw, maxeig_hw = w_ev[0], w_ev[-1]
+            pred_chk = -0.5 * hw_dx_dx - cx_dx
+            cx_norm = man.norm(x, cx)
+            cauchy_diff = pred_chk - 0.5 * cx_norm * jnp.minimum(
+                tr_radius, cx_norm / maxeig_hw
+            )
+            eigen_diff = pred_chk + 0.5 * tr_radius**2 * mineig_hw
+            trs_check = {
+                "TRS_cauchy_diff": cauchy_diff,
+                "TRS_eigen_diff": eigen_diff,
+                "TRS_mineig": mineig_hw,
+            }
+            if exact:
+                kkt_vec = hm @ coeff + lam1 * coeff + c_vec
+                trs_check["TRS_KKTresid"] = jnp.linalg.norm(kkt_vec)
+                trs_check["TRS_compl"] = lam1 * (tr_radius - normdx)
 
         # ---- trial point (RIPTRM.py:743-745) ---------------------------
         dy = -y + mu / c - y * problem.gx_adj(x, dx) / c
@@ -402,6 +433,7 @@ def make_step(problem, option):
             converged=converged,
             exit_inner=exit_inner,
         )
+        info.update(trs_check)
         return new_state, info
 
     return step
@@ -502,7 +534,9 @@ class RIPTRM:
             # exited the inner loop and outer_iter + 1 otherwise.
             row_iter = outer_iter if bool(info["exit_inner"]) else outer_iter + 1
             row_time = clock.elapsed()
-            if option["save_inner_iteration"]:
+            # save_inner_iteration=False logs only at outer transitions
+            # (reference outer loop add_log, RIPTRM.py:936-941)
+            if option["save_inner_iteration"] or bool(info["exit_inner"]):
                 row = self._format_info(info)
                 log.add(row_iter, row_time, row)
                 maybe_wandb_log(option, row | {"time": row_time})

@@ -100,7 +100,7 @@ def make_step(problem, option):
 
         # --- regularized Lagrangian Hessian in coordinates ---------------
         if option["quadoptim_type"] in ("reghess", "reghess_operator"):
-            hess = lambda v: problem.lag_rhess(x, y, v, z)
+            hess = problem.lag_rhess_at(x, y, z)  # primal trace frozen
             q_raw = materialize_symmetrized(man, x, basis, hess)
             w, v = jnp.linalg.eigh(q_raw)
             w = jnp.where(w < thld, corr, w)

@@ -1,0 +1,124 @@
+"""Experiment-layer tests: config, sweep expansion, simulate/generate CLIs,
+CSV contract, analyzer."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from riptrm_tpu.experiment.cfg import load_config, solver_options_from_cfg, sweep_configs
+
+
+def test_config_interpolation(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text(
+        "problem_name: Foo\nproblem_instance: 3\n"
+        "output_path: intermediate/${problem_name}/${problem_instance}\n"
+        "tol: 1e-8\n"
+    )
+    cfg = load_config(str(p))
+    assert cfg.output_path == "intermediate/Foo/3"
+    assert cfg.tol == 1e-8  # YAML-1.1 '1e-8' string coerced to float
+
+
+def test_config_overrides(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text("a: 1\nnested:\n  b: 2\n")
+    cfg = load_config(str(p), ["a=5", "nested.b=7", "new.key=hello"])
+    assert cfg.a == 5 and cfg.get_path("nested.b") == 7
+    assert cfg.get_path("new.key") == "hello"
+
+
+def test_sweep_cross_product(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text(
+        "problem_name: X\nsweeper:\n  params:\n    inst: 1,2,3\n    pt: a,b\n"
+    )
+    cfgs = sweep_configs(str(p))
+    assert len(cfgs) == 6
+    combos = {(c.inst, c.pt) for c in cfgs}
+    assert combos == {(i, p_) for i in (1, 2, 3) for p_ in ("a", "b")}
+
+
+def test_sweep_cli_override_axis(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text("problem_name: X\n")
+    cfgs = sweep_configs(str(p), ["pt=a,b,c"])
+    assert len(cfgs) == 3
+
+
+def test_solver_option_merge():
+    cfg = load_config("configs/NonnegPCA/config_simulation.yaml")
+    opt = solver_options_from_cfg(cfg, "RIPTRM")
+    assert opt["maxtime"] == 240
+    assert opt["TRS_solver"] == "tCG"
+    assert opt["second_order_stationarity"] is False
+    opt2 = solver_options_from_cfg(cfg, "RSQO")
+    assert opt2["quadoptim_eigvalcorr"] == 1e-2
+
+
+def test_simulate_end_to_end(tmp_path, monkeypatch):
+    """Full pipeline on the golden instance with a tiny budget."""
+    monkeypatch.chdir("/root/repo")
+    from riptrm_tpu.experiment.simulator import main
+
+    out_dir = str(tmp_path / "out")
+    main(
+        [
+            "--problem",
+            "NonnegPCA",
+            "solver_name=[RIPTRM]",
+            "solver_option.common.maxtime=30",
+            "solver_option.common.maxiter=3",
+            "solver_option.common.tolresid=1e-8",
+            f"output_path={out_dir}",
+        ]
+    )
+    df = pd.read_csv(f"{out_dir}/RIPTRM_tCG_log.csv")
+    assert df["residual"].iloc[-1] < df["residual"].iloc[0]
+    x = np.loadtxt(f"{out_dir}/RIPTRM_tCG_x.csv")
+    assert abs(np.linalg.norm(x) - 1) < 1e-10
+    assert os.path.exists(f"{out_dir}/RIPTRM_tCG_option.csv")
+
+
+def test_generate_and_solve_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.chdir("/root/repo")
+    from riptrm_tpu.experiment.generate import main
+
+    out = str(tmp_path / "ds")
+    main(["--problem", "NonnegPCA", "dim=12", f"output_path={out}"])
+    from riptrm_tpu.problems import nonneg_pca
+
+    p = nonneg_pca.load_problem(out, "a")
+    assert p.num_ineq == 12
+    g = np.asarray(p.ineq_val(p.x0))
+    assert (g <= 0).all()
+
+
+def test_block_file_roundtrip(tmp_path):
+    from riptrm_tpu.experiment.simulator import load_block_file, save_output
+    from riptrm_tpu.solvers.base import Output
+
+    j = np.arange(9.0).reshape(3, 3)
+    r = np.eye(3)
+    out = Output(name="T", x=(j, r), ineqLagmult=np.ones(2), eqLagmult=np.zeros(0), option={"a": 1}, log={"b": [1, 2]})
+    save_output(str(tmp_path), "T", out)
+    blocks = load_block_file(str(tmp_path / "T_x.csv"))
+    np.testing.assert_allclose(blocks[0], j)
+    np.testing.assert_allclose(blocks[1], r)
+
+
+def test_analyzer_filters_and_best(tmp_path):
+    from riptrm_tpu.experiment.analyzer import best_residual_within, filter_riptrm_rows
+
+    df = pd.DataFrame(
+        {
+            "time": [0.0, 1.0, 2.0, 3.0, 250.0],
+            "residual": [1.0, 0.5, 0.1, 0.2, 1e-9],
+            "inner_status": [np.nan, "successful", "converged", "unsuccessful", "converged"],
+        }
+    )
+    f = filter_riptrm_rows(df)
+    assert list(f["time"]) == [0.0, 2.0, 250.0]
+    assert best_residual_within(f, 240.0) == 0.1

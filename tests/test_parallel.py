@@ -1,0 +1,75 @@
+"""Multi-device sweep tests on the 8-device virtual CPU mesh
+(the TPU-native 'fake backend'; SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from riptrm_tpu.parallel.sweep import (
+    batched_riptrm_solve,
+    init_state_from,
+    make_mesh,
+    run_sweep,
+)
+from riptrm_tpu.problems import nonneg_pca
+
+N = 16
+BATCH = 8
+OPTION = {
+    "maxiter": 12,
+    "tolresid": 1e-7,
+    "TRS_solver": "tCG",
+    "second_order_stationarity": False,
+}
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    data = nonneg_pca.generate_instance(k1, N)
+    xs = np.abs(np.asarray(jax.random.normal(k2, (BATCH, N))))
+    xs = xs / np.linalg.norm(xs, axis=1, keepdims=True)
+    ys = np.ones((BATCH, N))
+    problem = nonneg_pca.make_problem(data["Z"], xs[0])
+    return problem, jnp.asarray(xs), jnp.asarray(ys)
+
+
+def test_vmapped_sweep_converges(setup):
+    problem, xs, ys = setup
+    fn = batched_riptrm_solve(problem, OPTION, max_steps=300)
+    states, ks, res = fn(xs, ys)
+    assert res.shape == (BATCH,)
+    assert np.all(np.asarray(res) < 1e-3)
+    # each lane stayed on the sphere and feasible
+    xnorms = np.linalg.norm(np.asarray(states.x), axis=1)
+    np.testing.assert_allclose(xnorms, 1.0, atol=1e-10)
+
+
+def test_sharded_sweep_matches_vmap(setup):
+    problem, xs, ys = setup
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh({"dp": 8})
+    xv, yv, kv, res_v = run_sweep(problem, OPTION, xs, ys, max_steps=300)
+    xs_s, ys_s, ks_s, res_s = run_sweep(
+        problem, OPTION, xs, ys, max_steps=300, mesh=mesh
+    )
+    # Different compilations reorder float reductions, so iterates diverge
+    # slightly over hundreds of steps; both must converge to the same
+    # solution at solver tolerance.
+    np.testing.assert_allclose(np.asarray(res_s), np.asarray(res_v), rtol=5e-2)
+    assert np.all(np.asarray(res_s) < 1e-3)
+    np.testing.assert_allclose(np.asarray(xs_s), np.asarray(xv), atol=1e-4)
+
+
+def test_graft_entry_contract():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    g.dryrun_multichip(8)
