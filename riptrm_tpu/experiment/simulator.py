@@ -112,9 +112,16 @@ class Simulator:
         names = cfg.solver_name
         if isinstance(names, str):
             names = [names]
+        skip_existing = bool(cfg.get_path("skip_existing", False))
         for name in names:
             option = solver_options_from_cfg(cfg, name)
             solver = SOLVERS[name](option)
+            if skip_existing:
+                from riptrm_tpu.experiment.checkpoint import job_is_done
+
+                if job_is_done(out_dir, solver.name):
+                    logger.info("Skipping completed job %s", solver.name)
+                    continue
             logger.info("Running solver %s", solver.name)
             output = solver.run(problem)
             save_output(out_dir, output.name, output)

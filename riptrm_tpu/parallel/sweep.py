@@ -97,6 +97,70 @@ def sharded_riptrm_solve(problem, option, max_steps: int, mesh: Mesh, axis: str 
     return jax.jit(fn)
 
 
+def batched_solver_sweep(problem, solver_name: str, option, max_steps: int):
+    """Batched compiled solve for ANY of the four solvers.
+
+    Returns a jitted fn (xs0, ys0) -> (x_final, y_final, steps, residuals);
+    the sweep axis is the leading dimension of the stacked initial
+    primal/dual points (the reference's Hydra multirun axes; SURVEY §2.3).
+    """
+    from riptrm_tpu.solvers import ralm, ripm, rsqo
+
+    if solver_name == "RIPTRM":
+        solver = RIPTRM(option)
+        solve = solver.solve_compiled(problem, max_steps)
+
+        def one(x0, y0):
+            st, k = solve(init_state_from(problem, solver.option, x0, y0))
+            res = compute_residual(problem, st.x, st.y, jnp.zeros((0,)))[0]
+            return st.x, st.y, k, res
+
+    elif solver_name == "RIPM":
+        solve = ripm.solve_compiled(problem, option, max_steps)
+        opt = ripm.RIPM(option).option
+
+        def one(x0, y0):
+            base, _, _ = ripm.init_state(problem, opt)
+            f = ripm._kkt_field(problem, x0, base.y, y0, y0)
+            phi0 = ripm._phi(problem, x0, *f)
+            m = problem.num_ineq
+            st0 = base._replace(
+                x=x0, z=y0, s=y0, phi=phi0,
+                sigma=jnp.minimum(0.5, phi0**0.25),
+                rho=jnp.vdot(y0, y0) / m,
+            )
+            tau_1 = jnp.min(y0 * y0) * m / jnp.vdot(y0, y0)
+            tau_2 = jnp.vdot(y0, y0) / jnp.sqrt(phi0)
+            st, k = solve(st0, tau_1, tau_2)
+            res = compute_residual(problem, st.x, st.z, st.y)[0]
+            return st.x, st.z, k, res
+
+    elif solver_name == "RSQO":
+        solve = rsqo.solve_compiled(problem, option, max_steps)
+        opt = rsqo.RSQO(option).option
+
+        def one(x0, y0):
+            st0 = rsqo.init_state(problem, opt)._replace(x=x0, y=y0)
+            st, k = solve(st0)
+            res = compute_residual(problem, st.x, st.y, st.z)[0]
+            return st.x, st.y, k, res
+
+    elif solver_name == "RALM":
+        solve = ralm.solve_compiled(problem, option, max_steps)
+        opt = ralm.RALM(option).option
+
+        def one(x0, y0):
+            st0 = ralm.init_state(problem, opt)._replace(x=x0, y=y0, y_unbd=y0)
+            st, k = solve(st0)
+            res = compute_residual(problem, st.x, st.y, st.z)[0]
+            return st.x, st.y, k, res
+
+    else:
+        raise ValueError(f"Unknown solver {solver_name}")
+
+    return jax.jit(jax.vmap(one))
+
+
 def run_sweep(problem, option, xs0, ys0, *, max_steps=2000, mesh=None, axis="dp"):
     """Convenience wrapper: sharded when a mesh is given, else vmapped."""
     xs0 = jnp.asarray(xs0)

@@ -74,11 +74,15 @@ class LogAccumulator:
 
 
 class WallClock:
-    """Wall-clock budget for the host runner (``base_solver.py:85-107``)."""
+    """Wall-clock budget for the host runner (``base_solver.py:85-107``).
 
-    def __init__(self, maxtime: float):
+    ``initial_elapsed`` seeds the clock when resuming from a checkpoint so
+    the total budget spans the whole logical run.
+    """
+
+    def __init__(self, maxtime: float, initial_elapsed: float = 0.0):
         self.maxtime = maxtime
-        self.start = time.time()
+        self.start = time.time() - initial_elapsed
         self.excluded = 0.0
 
     def elapsed(self) -> float:

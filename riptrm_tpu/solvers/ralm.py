@@ -179,6 +179,37 @@ def init_state(problem, option):
     )
 
 
+def solve_compiled(problem, option, max_steps: int):
+    """Fully-compiled RALM solve for vmapped sweeps: solve(state) -> (state, steps)."""
+    from riptrm_tpu.ops.kkt import compute_residual
+    from riptrm_tpu.solvers.base import merge_options
+
+    option = merge_options(default_option(), option or {})
+    step = make_step(problem, option)
+    tolresid = option["tolresid"]
+    maxiter = option["maxiter"]
+
+    def solve(state):
+        def cond(carry):
+            st, k, done = carry
+            return (~done) & (k < max_steps) & (k < maxiter)
+
+        def body(carry):
+            st, k, _ = carry
+            new_st, _ = step(st)
+            y_eval = new_st.y_unbd if option["LagmultUnbdUpdate"] else new_st.y
+            z_eval = new_st.z_unbd if option["LagmultUnbdUpdate"] else new_st.z
+            res = compute_residual(problem, new_st.x, y_eval, z_eval)[0]
+            return (new_st, k + 1, res <= tolresid)
+
+        st, k, _ = jax.lax.while_loop(
+            cond, body, (state, jnp.asarray(0), jnp.asarray(False))
+        )
+        return st, k
+
+    return solve
+
+
 class RALM:
     def __init__(self, option=None):
         self.option = merge_options(default_option(), option or {})
@@ -188,13 +219,16 @@ class RALM:
         option = self.option
         maybe_wandb_init(option, self.name)
         log = LogAccumulator()
-        clock = WallClock(option["maxtime"])
-        step = jax.jit(make_step(problem, option))
         state = init_state(problem, option)
-
-        eval_fn = jax.jit(
-            lambda s, y, z, xp: evaluation(problem, xp, s.x, y, z)
+        # AOT-compile before the clock starts (compile is excluded time).
+        step = jax.jit(make_step(problem, option)).lower(state).compile()
+        y0e, z0e = eval_multipliers(problem, state, option)
+        eval_fn = (
+            jax.jit(lambda s, y, z, xp: evaluation(problem, xp, s.x, y, z))
+            .lower(state, y0e, z0e, state.x)
+            .compile()
         )
+        clock = WallClock(option["maxtime"])
 
         stop_reason = None
         x_prev = state.x

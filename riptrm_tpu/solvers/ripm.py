@@ -444,6 +444,39 @@ def init_state(problem, option):
     return state, tau_1, tau_2
 
 
+def solve_compiled(problem, option, max_steps: int):
+    """Fully-compiled RIPM solve (lax.while_loop) for vmapped sweeps.
+
+    Returns solve(state, tau_1, tau_2) -> (state, steps).
+    """
+    from riptrm_tpu.ops.kkt import compute_residual
+    from riptrm_tpu.solvers.base import merge_options
+
+    option = merge_options(default_option(), option or {})
+    step = make_step(problem, option)
+    tolresid = option["tolresid"]
+    maxiter = option["maxiter"]
+
+    def solve(state, tau_1, tau_2):
+        def cond(carry):
+            st, k, done = carry
+            return (~done) & (k < max_steps)
+
+        def body(carry):
+            st, k, _ = carry
+            new_st, _ = step(st, tau_1, tau_2)
+            res = compute_residual(problem, new_st.x, new_st.z, new_st.y)[0]
+            done = (res <= tolresid) | (new_st.iteration >= maxiter)
+            return (new_st, k + 1, done)
+
+        st, k, _ = jax.lax.while_loop(
+            cond, body, (state, jnp.asarray(0), jnp.asarray(False))
+        )
+        return st, k
+
+    return solve
+
+
 class RIPM:
     def __init__(self, option=None):
         self.option = merge_options(default_option(), option or {})
@@ -457,11 +490,20 @@ class RIPM:
         option = self.option
         maybe_wandb_init(option, self.name)
         log = LogAccumulator()
-        clock = WallClock(option["maxtime"])
         step_fn = make_step(problem, option)
-        step = jax.jit(lambda st, t1, t2: step_fn(st, t1, t2))
         state, tau_1, tau_2 = init_state(problem, option)
-        eval_fn = jax.jit(lambda xp, st: evaluation(problem, xp, st.x, st.z, st.y))
+        # AOT-compile before the clock starts (compile is excluded time).
+        step = (
+            jax.jit(lambda st, t1, t2: step_fn(st, t1, t2))
+            .lower(state, tau_1, tau_2)
+            .compile()
+        )
+        eval_fn = (
+            jax.jit(lambda xp, st: evaluation(problem, xp, st.x, st.z, st.y))
+            .lower(state.x, state)
+            .compile()
+        )
+        clock = WallClock(option["maxtime"])
 
         info = {}
         x_prev = state.x

@@ -32,6 +32,7 @@ TPU-first design decisions:
 from __future__ import annotations
 
 import copy
+import os
 import time
 from functools import partial
 from typing import NamedTuple
@@ -120,6 +121,10 @@ def default_option():
         "save_inner_iteration": True,
         "wandb_logging": False,
         "do_exit_on_error": True,
+        # Checkpoint/resume (absent in the reference; SURVEY.md §5)
+        "checkpoint_path": None,
+        "checkpoint_every": 30.0,  # seconds
+        "resume": False,
     }
 
 
@@ -483,14 +488,34 @@ class RIPTRM:
         option = self.option
         maybe_wandb_init(option, self.name)
         log = LogAccumulator()
-        clock = WallClock(option["maxtime"])
 
-        step = jax.jit(make_step(problem, option))
+        # AOT-compile before starting the clock: the reference's
+        # excluded_time mechanism subtracts non-solve overhead
+        # (base_solver.py:58-93); compilation is the JAX analog.
         state = init_state(problem, option)
+        step = jax.jit(make_step(problem, option)).lower(state).compile()
+        eval_fn = (
+            jax.jit(lambda s: evaluation(problem, s.x, s.x, s.y, jnp.zeros((0,))))
+            .lower(state)
+            .compile()
+        )
 
-        eval0 = jax.jit(
-            lambda s: evaluation(problem, s.x, s.x, s.y, jnp.zeros((0,)))
-        )(state)
+        # Resume from a checkpoint (state + elapsed budget + log so far)
+        ckpt_path = option.get("checkpoint_path")
+        initial_elapsed = 0.0
+        resumed = False
+        if ckpt_path and option.get("resume") and os.path.exists(ckpt_path):
+            from riptrm_tpu.experiment.checkpoint import load_state
+
+            state, meta = load_state(ckpt_path, state)
+            initial_elapsed = float(meta.get("elapsed", 0.0))
+            for k, v in meta.get("log", {}).items():
+                log.log[k] = list(v)
+            resumed = True
+        clock = WallClock(option["maxtime"], initial_elapsed)
+        last_ckpt = clock.elapsed()
+
+        eval0 = eval_fn(state)
         # iteration-0 row (outer loop first evaluation, RIPTRM.py:931-944)
         status0 = {
             "mu": state.mu,
@@ -508,8 +533,11 @@ class RIPTRM:
             "dual_clipping": None,
             "maxabsLagmult": float(jnp.max(jnp.abs(state.y))) if problem.has_ineq else 0.0,
         }
-        log.add(0, 0.0, eval0, status0)
-        maybe_wandb_log(option, {**{k: float(v) for k, v in eval0.items()}, "time": 0.0})
+        if not resumed:  # iteration-0 row already in the restored log
+            log.add(0, 0.0, eval0, status0)
+            maybe_wandb_log(
+                option, {**{k: float(v) for k, v in eval0.items()}, "time": 0.0}
+            )
 
         stop_reason = None
         if float(eval0["residual"]) <= option["tolresid"]:
@@ -540,6 +568,29 @@ class RIPTRM:
                 row = self._format_info(info)
                 log.add(row_iter, row_time, row)
                 maybe_wandb_log(option, row | {"time": row_time})
+
+            if ckpt_path and row_time - last_ckpt >= option["checkpoint_every"]:
+                from riptrm_tpu.experiment.checkpoint import save_state
+
+                save_state(
+                    ckpt_path,
+                    state,
+                    {"elapsed": row_time, "log": log.as_dict()},
+                )
+                last_ckpt = row_time
+
+            if option["verbosity"] >= 1 and converged:
+                print(
+                    f"Outer iteration: {outer_iter}, Cost: {float(info['cost'])}, "
+                    f"KKT residual: {residual}, mu: {float(info['mu'])}"
+                )
+            elif option["verbosity"] > 1:
+                print(
+                    f"Iter: {row_iter}-{int(info['num_inner'])}, "
+                    f"Cost: {float(info['cost']):.3e}, KKT resid: {residual:.3e}, "
+                    f"TR: {float(info['TR_radius']):.3e}, "
+                    f"Stat: {INNER_STATUS_NAMES[int(info['inner_status'])]}"
+                )
 
             # Wall-clock budget: revert to the inner loop's initial point
             # (RIPTRM.py:823-834) and stop.

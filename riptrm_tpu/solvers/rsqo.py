@@ -99,17 +99,30 @@ def make_step(problem, option):
         basis = man.basis(x)
 
         # --- regularized Lagrangian Hessian in coordinates ---------------
-        if option["quadoptim_type"] in ("reghess", "reghess_operator"):
+        if option["quadoptim_type"] == "reghess":
             hess = problem.lag_rhess_at(x, y, z)  # primal trace frozen
             q_raw = materialize_symmetrized(man, x, basis, hess)
             w, v = jnp.linalg.eigh(q_raw)
             w = jnp.where(w < thld, corr, w)
             q_mat = (v * w) @ v.T
             q_mat = 0.5 * (q_mat + q_mat.T)
+        elif option["quadoptim_type"] == "reghess_operator":
+            # Reference RSQO.py:135-145: clamp the operator spectrum and use
+            # a diagonal Q in the operator's eigenbasis.  Equivalent here:
+            # diagonalize the materialized Hessian and rotate all
+            # coordinates into the eigenbasis, keeping Q diagonal.
+            hess = problem.lag_rhess_at(x, y, z)
+            q_raw = materialize_symmetrized(man, x, basis, hess)
+            w, v = jnp.linalg.eigh(q_raw)
+            w = jnp.where(w < thld, corr, w)
+            q_mat = jnp.diag(w)
+            coord_rot = v.T  # coords_new = V^T coords_old
         elif option["quadoptim_type"] == "eye":
             q_mat = jnp.eye(dim, dtype=y.dtype)
         else:
             raise ValueError(f"quadoptim_type {option['quadoptim_type']}")
+        if option["quadoptim_type"] != "reghess_operator":
+            coord_rot = None
 
         p_vec = man.to_coords(x, basis, problem.rgrad(x))
 
@@ -137,6 +150,11 @@ def make_step(problem, option):
             a_mat = jnp.zeros((0, dim), dtype=y.dtype)
             b_vec = jnp.zeros((0,), dtype=y.dtype)
 
+        if coord_rot is not None:
+            p_vec = coord_rot @ p_vec
+            g_mat = g_mat @ coord_rot.T
+            a_mat = a_mat @ coord_rot.T
+
         # --- tangent-space QP -------------------------------------------
         sol = solve_qp(
             q_mat, p_vec, g_mat, h_vec, a_mat, b_vec,
@@ -148,7 +166,8 @@ def make_step(problem, option):
         z_new = sol.y
 
         df0 = coeff @ (q_mat @ coeff)
-        direction = man.from_coords(x, basis, coeff)
+        coeff_basis = coeff if coord_rot is None else coord_rot.T @ coeff
+        direction = man.from_coords(x, basis, coeff_basis)
         normdx = man.norm(x, direction)
 
         # --- penalty update (RSQO.py:220-227) ---------------------------
@@ -217,6 +236,35 @@ def init_state(problem, option):
     )
 
 
+def solve_compiled(problem, option, max_steps: int):
+    """Fully-compiled RSQO solve for vmapped sweeps: solve(state) -> (state, steps)."""
+    from riptrm_tpu.ops.kkt import compute_residual
+    from riptrm_tpu.solvers.base import merge_options
+
+    option = merge_options(default_option(), option or {})
+    step = make_step(problem, option)
+    tolresid = option["tolresid"]
+    maxiter = option["maxiter"]
+
+    def solve(state):
+        def cond(carry):
+            st, k, done = carry
+            return (~done) & (k < max_steps) & (k < maxiter)
+
+        def body(carry):
+            st, k, _ = carry
+            new_st, _ = step(st)
+            res = compute_residual(problem, new_st.x, new_st.y, new_st.z)[0]
+            return (new_st, k + 1, res <= tolresid)
+
+        st, k, _ = jax.lax.while_loop(
+            cond, body, (state, jnp.asarray(0), jnp.asarray(False))
+        )
+        return st, k
+
+    return solve
+
+
 class RSQO:
     def __init__(self, option=None):
         self.option = merge_options(default_option(), option or {})
@@ -229,10 +277,15 @@ class RSQO:
         option = self.option
         maybe_wandb_init(option, self.name)
         log = LogAccumulator()
-        clock = WallClock(option["maxtime"])
-        step = jax.jit(make_step(problem, option))
         state = init_state(problem, option)
-        eval_fn = jax.jit(lambda xp, st: evaluation(problem, xp, st.x, st.y, st.z))
+        # AOT-compile before the clock starts (compile is excluded time).
+        step = jax.jit(make_step(problem, option)).lower(state).compile()
+        eval_fn = (
+            jax.jit(lambda xp, st: evaluation(problem, xp, st.x, st.y, st.z))
+            .lower(state.x, state)
+            .compile()
+        )
+        clock = WallClock(option["maxtime"])
 
         info = {}
         x_prev = state.x

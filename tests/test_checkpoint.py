@@ -1,0 +1,59 @@
+"""Checkpoint/resume tests (a capability the reference lacks; SURVEY §5)."""
+
+import numpy as np
+import pytest
+
+from riptrm_tpu.experiment.checkpoint import job_is_done, load_state, save_state
+from riptrm_tpu.problems import nonneg_pca
+from riptrm_tpu.solvers.riptrm import RIPTRM, init_state
+
+
+@pytest.fixture(scope="module")
+def pca():
+    return nonneg_pca.load_problem("dataset/NonnegPCA/1", "a")
+
+
+def test_state_roundtrip(tmp_path, pca):
+    opt = {"TRS_solver": "tCG", "second_order_stationarity": False}
+    st = init_state(pca, RIPTRM(opt).option)
+    path = str(tmp_path / "ck.npz")
+    save_state(path, st, {"elapsed": 1.5})
+    st2, meta = load_state(path, st)
+    assert meta["elapsed"] == 1.5
+    np.testing.assert_array_equal(np.asarray(st.x), np.asarray(st2.x))
+    np.testing.assert_array_equal(np.asarray(st.y), np.asarray(st2.y))
+    assert float(st2.mu) == float(st.mu)
+
+
+def test_riptrm_resume_continues(tmp_path, pca):
+    """Interrupt a solve after a few outer iterations; a resumed run must
+    continue (not restart) and reach a better residual."""
+    path = str(tmp_path / "run.npz")
+    base = {
+        "maxtime": 120,
+        "tolresid": 1e-9,
+        "TRS_solver": "tCG",
+        "second_order_stationarity": False,
+        "checkpoint_path": path,
+        "checkpoint_every": 0.0,  # checkpoint on every step
+    }
+    out1 = RIPTRM(base | {"maxiter": 4}).run(pca)
+    res1 = out1.log["residual"][-1]
+    iters1 = max(out1.log["iteration"])
+    assert iters1 >= 4
+
+    out2 = RIPTRM(base | {"maxiter": 10, "resume": True}).run(pca)
+    # resumed log contains the earlier rows plus new ones
+    assert max(out2.log["iteration"]) >= 10
+    assert out2.log["residual"][-1] < res1
+    # prefix of the resumed log equals the first run's log
+    n = len(out1.log["residual"]) - 1  # last row of run1 may repeat on resume
+    np.testing.assert_allclose(
+        out2.log["residual"][:n], out1.log["residual"][:n], rtol=1e-12
+    )
+
+
+def test_job_done_marker(tmp_path):
+    assert not job_is_done(str(tmp_path), "X")
+    (tmp_path / "X_log.csv").write_text("iteration\n0\n")
+    assert job_is_done(str(tmp_path), "X")
