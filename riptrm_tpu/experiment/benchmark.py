@@ -1,0 +1,89 @@
+"""Full paper-protocol benchmark sweep (BASELINE.md / BASELINE.json cfg 5).
+
+Runs 3 problems x instances x initial points x the solver grid under the
+reference protocol (240 s budget, maxiter 10000, min-KKT-residual metric),
+sharded across host processes, restartable via ``skip_existing``, and
+summarizes best-residual-within-budget per job.
+
+    python -m riptrm_tpu.experiment.benchmark [--budget 240] [--problems A,B]
+        [--solvers RIPTRM,...] [--scale 1.0]
+
+``--scale`` shrinks the wall-clock budget for smoke runs (e.g. 0.05 ->
+12 s per solve).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+from riptrm_tpu.experiment.analyzer import best_residual_within, filter_riptrm_rows, load_log
+from riptrm_tpu.experiment.cfg import load_config, solver_options_from_cfg, sweep_configs
+from riptrm_tpu.experiment.simulator import Simulator
+from riptrm_tpu.parallel.distributed import host_shard
+
+PROBLEMS = ["NonnegPCA", "Rosenbrock", "StableIdentification"]
+
+
+def jobs_for(problem: str, overrides):
+    path = f"configs/{problem}/config_simulation.yaml"
+    return sweep_configs(path, overrides)
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    budget = 240.0
+    problems = PROBLEMS
+    solvers = None
+    scale = 1.0
+    extra = []
+    it = iter(argv)
+    for a in it:
+        if a == "--budget":
+            budget = float(next(it))
+        elif a == "--problems":
+            problems = next(it).split(",")
+        elif a == "--solvers":
+            solvers = next(it).split(",")
+        elif a == "--scale":
+            scale = float(next(it))
+        else:
+            extra.append(a)
+
+    budget_eff = budget * scale
+    summary = {}
+    for problem in problems:
+        overrides = list(extra) + [
+            f"solver_option.common.maxtime={budget_eff}",
+            "skip_existing=true",
+        ]
+        if solvers:
+            overrides.append(f"solver_name=[{','.join(solvers)}]")
+        cfgs = jobs_for(problem, overrides)
+        cfgs = host_shard(cfgs)
+        for cfg in cfgs:
+            Simulator(cfg).run()
+            out_dir = cfg.get_path("output_path")
+            for f in os.listdir(out_dir):
+                if not f.endswith("_log.csv"):
+                    continue
+                name = f[: -len("_log.csv")]
+                df = load_log(out_dir, name)
+                if name.startswith("RIPTRM"):
+                    df = filter_riptrm_rows(df)
+                key = f"{problem}/{cfg.problem_instance}/{cfg.problem_initialpoint}/{name}"
+                summary[key] = best_residual_within(df, budget_eff)
+
+    os.makedirs("result", exist_ok=True)
+    with open("result/benchmark_summary.json", "w") as f:
+        json.dump(summary, f, indent=1, sort_keys=True)
+    for k in sorted(summary):
+        v = summary[k]
+        print(f"{k}: best residual {v:.3e}" if np.isfinite(v) else f"{k}: n/a")
+
+
+if __name__ == "__main__":
+    main()

@@ -125,6 +125,16 @@ def default_option():
         "checkpoint_path": None,
         "checkpoint_every": 30.0,  # seconds
         "resume": False,
+        # Accepted for reference-config compatibility; no-ops here.
+        # do_euclidean_lincomb / is_euclidean_embedded select between two
+        # mathematically equivalent evaluation orders in the reference
+        # (RIPTRM.py:457-571); JAX AD computes the same quantities with one
+        # fused program either way.  basisfun is superseded by the
+        # deterministic closed-form bases (manifolds/*.basis).
+        "do_euclidean_lincomb": False,
+        "is_euclidean_embedded": False,
+        "basisfun": None,
+        "TRS_tolresid": 1e-12,
     }
 
 
@@ -444,6 +454,36 @@ def make_step(problem, option):
     return step
 
 
+def make_force_outer(option):
+    """Host-triggered inner-budget reset (``RIPTRM.py:823-842``,
+    ``inner_maxtime``): revert to the inner loop's initial values and apply
+    the outer barrier update."""
+
+    def force_outer(state: RiptrmState):
+        r = option["barrier_parameter_update_r"]
+        cc = option["barrier_parameter_update_c"]
+        b = option["barrier_parameter_update_b"]
+        mu_min = option["min_barrier_parameter"]
+        simple = cc * state.mu ** (1.0 + r)
+        if option["do_simple_barrier_parameter_update"]:
+            mu = jnp.maximum(mu_min, simple)
+        else:
+            mu = jnp.maximum(mu_min, jnp.minimum(b * state.mu, simple))
+        tr = jnp.maximum(state.inner_tr0, option["minimal_initial_TR_radius"])
+        return state._replace(
+            x=state.inner_x0,
+            y=state.inner_y0,
+            tr_radius=tr,
+            mu=mu,
+            outer_iter=state.outer_iter + 1,
+            inner_count=jnp.asarray(0),
+            inner_tr0=tr,
+            cache_valid=jnp.asarray(False),
+        )
+
+    return force_outer
+
+
 def init_state(problem, option):
     """``outer_preprocess`` + ``inner_preprocess`` (``RIPTRM.py:849-864,406-424``)."""
     man = problem.manifold
@@ -514,6 +554,12 @@ class RIPTRM:
             resumed = True
         clock = WallClock(option["maxtime"], initial_elapsed)
         last_ckpt = clock.elapsed()
+        inner_start = clock.elapsed()
+        force_outer = (
+            jax.jit(make_force_outer(option))
+            if option["inner_maxtime"] is not None
+            else None
+        )
 
         eval0 = eval_fn(state)
         # iteration-0 row (outer loop first evaluation, RIPTRM.py:931-944)
@@ -603,6 +649,18 @@ class RIPTRM:
                     f"maxtime={option['maxtime']}"
                 )
                 break
+
+            # inner_maxtime budget: reset the inner loop and force the outer
+            # transition (RIPTRM.py:822-834)
+            if (
+                option["inner_maxtime"] is not None
+                and not bool(info["exit_inner"])
+                and clock.elapsed() - inner_start >= option["inner_maxtime"]
+            ):
+                state = force_outer(state)
+                inner_start = clock.elapsed()
+            elif bool(info["exit_inner"]):
+                inner_start = clock.elapsed()
             if converged:
                 if residual <= option["tolresid"]:
                     stop_reason = (
