@@ -110,6 +110,24 @@ def main():
     inner_per_s = inner_steps / t_solve
     outer_per_s = outer_iters / t_solve
 
+    # ---- 2b. batched multi-start sweep throughput (dp axis on one chip) --
+    from riptrm_tpu.parallel.sweep import batched_riptrm_solve
+
+    B = 16
+    kb = jax.random.PRNGKey(7)
+    xs0 = jnp.abs(jax.random.normal(kb, (B, N), dtype=dtype))
+    xs0 = xs0 / jnp.linalg.norm(xs0, axis=1, keepdims=True)
+    ys0 = jnp.ones((B, N), dtype=dtype)
+    bsolve = batched_riptrm_solve(problem, option, max_steps=SOLVE_STEPS)
+    states_b, kb_, res_b = bsolve(xs0, ys0)
+    jax.block_until_ready(res_b)
+    t0 = time.perf_counter()
+    states_b, kb_, res_b = bsolve(xs0, ys0)
+    jax.block_until_ready(res_b)
+    t_batch = time.perf_counter() - t0
+    batch_solves_per_s = B / t_batch
+    batch_inner_per_s = B * int(jnp.max(kb_)) / t_batch
+
     # ---- 3. NumPy host baseline for the same chained matvec -------------
     z_np = np.asarray(data["Z"], dtype=np.float64)
     x_np = np.asarray(x, dtype=np.float64)
@@ -151,6 +169,9 @@ def main():
             "outer_iters_per_sec": round(outer_per_s, 2),
             "inner_steps": inner_steps,
             "outer_iters": outer_iters,
+            "batch16_solves_per_sec": round(batch_solves_per_s, 3),
+            "batch16_inner_steps_per_sec": round(batch_inner_per_s, 1),
+            "batch16_max_residual": float(jnp.max(res_b)),
             "final_kkt_residual": float(
                 __import__("riptrm_tpu.ops.kkt", fromlist=["compute_residual"]).compute_residual(
                     problem, st.x, st.y, jnp.zeros((0,))
@@ -164,4 +185,18 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # the driver records stdout; always emit the line
+        print(
+            json.dumps(
+                {
+                    "metric": "riptrm_tcg_matvecs_per_sec_nonnegpca_n1000",
+                    "value": 0,
+                    "unit": "matvec/s",
+                    "vs_baseline": 0,
+                    "error": f"{type(e).__name__}: {e}",
+                }
+            )
+        )
+        raise SystemExit(1)

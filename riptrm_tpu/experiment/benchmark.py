@@ -39,6 +39,7 @@ def main(argv=None):
     problems = PROBLEMS
     solvers = None
     scale = 1.0
+    summary_path = "result/benchmark_summary.json"
     extra = []
     it = iter(argv)
     for a in it:
@@ -50,6 +51,8 @@ def main(argv=None):
             solvers = next(it).split(",")
         elif a == "--scale":
             scale = float(next(it))
+        elif a == "--summary":
+            summary_path = next(it)
         else:
             extra.append(a)
 
@@ -77,8 +80,8 @@ def main(argv=None):
                 key = f"{problem}/{cfg.problem_instance}/{cfg.problem_initialpoint}/{name}"
                 summary[key] = best_residual_within(df, budget_eff)
 
-    os.makedirs("result", exist_ok=True)
-    with open("result/benchmark_summary.json", "w") as f:
+    os.makedirs(os.path.dirname(summary_path) or ".", exist_ok=True)
+    with open(summary_path, "w") as f:
         json.dump(summary, f, indent=1, sort_keys=True)
     for k in sorted(summary):
         v = summary[k]

@@ -89,7 +89,9 @@ def _interpolate(value, root: Config):
     return value
 
 
-def load_config(path: str, overrides: List[str] | None = None) -> Config:
+def load_config(
+    path: str, overrides: List[str] | None = None, interpolate: bool = True
+) -> Config:
     with open(path) as f:
         raw = _coerce(yaml.safe_load(f) or {})
     cfg = Config(raw)
@@ -98,6 +100,8 @@ def load_config(path: str, overrides: List[str] | None = None) -> Config:
             raise ValueError(f"Override '{ov}' must be key=value")
         k, v = ov.split("=", 1)
         cfg.set_path(k, _parse_scalar(v))
+    if not interpolate:
+        return cfg
     return Config(_interpolate(cfg, cfg))
 
 
@@ -135,8 +139,10 @@ def sweep_configs(path: str, overrides: List[str] | None = None) -> List[Config]
     keys = sorted(params)
     configs = []
     for combo in itertools.product(*(params[k] for k in keys)):
-        ovs = list(scalar_overrides)
-        cfg = load_config(path, ovs)
+        # Interpolation must happen AFTER the sweep values are applied, or
+        # ${problem_initialpoint}-style paths freeze at their defaults and
+        # every job writes to the same directory.
+        cfg = load_config(path, scalar_overrides, interpolate=False)
         for k, v in zip(keys, combo):
             cfg.set_path(k, v)
         configs.append(Config(_interpolate(cfg, cfg)))

@@ -44,6 +44,154 @@ def _chain_kernel(xzx_ref, z_ref, x_ref, w_ref, v_ref, out_ref, *, n_iters):
     out_ref[:] = jax.lax.fori_loop(0, n_iters, body, v_ref[:])
 
 
+def _tcg_kernel(
+    scal_ref, z_ref, x_ref, w_ref, g_ref, eta_ref, heta_ref, stats_ref,
+    *, maxinner, mininner,
+):
+    """Entire Steihaug-Toint tCG loop in one kernel, all state in VMEM.
+
+    scal_ref (SMEM [4,1]): [xzx, radius, target, linear_flag] — target and
+    the linear/superlinear classification are precomputed on the host side
+    of the graph because Mosaic has no float pow.
+    Mirrors ops/tcg.py::truncated_cg (itself the reference's vendored
+    pymanopt tCG, RIPTRM.py:41-216) for the sphere-quadratic structure.
+    stats_ref (SMEM [2,1]): [iterations, stop_code] out.
+    """
+    x = x_ref[:]
+    w = w_ref[:]
+    xzx = scal_ref[0, 0]
+    radius = scal_ref[1, 0]
+    target = scal_ref[2, 0]
+    linear_flag = scal_ref[3, 0]
+    grad = g_ref[:]
+
+    def hw(v):
+        zv = jnp.dot(z_ref[:], v, preferred_element_type=jnp.float32)
+        pzv = zv - x * jnp.sum(x * zv)
+        bar = w * v
+        pbar = bar - x * jnp.sum(x * bar)
+        return -2.0 * pzv + 2.0 * xzx * v + pbar
+
+    def proj(v):
+        return v - x * jnp.sum(x * v)
+
+    def dot(a, b):
+        return jnp.sum(a * b)
+
+    r0 = grad
+    z_r0 = dot(r0, r0)
+    delta0 = -r0
+    zero = jnp.float32(0.0)
+
+    def safe_div(a, b):
+        return a / jnp.where(b == 0, 1.0, b)
+
+    # carry: eta, Heta, r, delta, e_Pe, d_Pd, e_Pd, z_r, model, j, code, done
+    init = (
+        jnp.zeros_like(grad), jnp.zeros_like(grad), r0, delta0,
+        zero, z_r0, zero, z_r0, zero,
+        jnp.int32(0), jnp.int32(0), jnp.bool_(False),
+    )
+
+    def cond(c):
+        return jnp.logical_and(~c[11], c[9] < maxinner)
+
+    def body(c):
+        eta, heta, r, delta, e_pe, d_pd, e_pd, z_r, model, j, code, done = c
+        hdelta = hw(delta)
+        d_hd = dot(delta, hdelta)
+        alpha = safe_div(z_r, d_hd)
+        e_pe_new = e_pe + 2.0 * alpha * e_pd + alpha**2 * d_pd
+        bail = jnp.logical_or(d_hd <= 0, e_pe_new >= radius**2)
+        disc = jnp.maximum(e_pd**2 + d_pd * (radius**2 - e_pe), 0.0)
+        tau = safe_div(-e_pd + jnp.sqrt(disc), d_pd)
+        eta_b = eta + tau * delta
+        heta_b = heta + tau * hdelta
+        eta_c = eta + alpha * delta
+        heta_c = heta + alpha * hdelta
+        model_c = dot(eta_c, grad) + 0.5 * dot(eta_c, heta_c)
+        model_inc = model_c >= model
+        r_new = r + alpha * hdelta
+        norm_r = jnp.sqrt(dot(r_new, r_new))
+        hit = jnp.logical_and(j + 1 > mininner, norm_r <= target)
+        beta = safe_div(dot(r_new, r_new), z_r)
+        delta_new = proj(-r_new + beta * delta)
+        done_now = bail | model_inc | hit
+        code_new = jnp.where(
+            bail,
+            jnp.where(d_hd <= 0, 1, 2),
+            jnp.where(
+                model_inc, 3,
+                jnp.where(hit, jnp.where(linear_flag > 0, 4, 5), 0),
+            ),
+        ).astype(jnp.int32)
+
+        pick = lambda b_, k_, a_: jnp.where(bail, b_, jnp.where(model_inc, k_, a_))
+        eta_out = pick(eta_b, eta, eta_c)
+        heta_out = pick(heta_b, heta, heta_c)
+        zr_new = dot(r_new, r_new)
+        return (
+            eta_out, heta_out, r_new, delta_new,
+            jnp.where(done_now, e_pe, e_pe_new),
+            jnp.where(done_now, d_pd, zr_new + beta**2 * d_pd),
+            jnp.where(done_now, e_pd, beta * (e_pd + alpha * d_pd)),
+            jnp.where(done_now, z_r, zr_new),
+            jnp.where(done_now | model_inc, model, model_c),
+            j + 1, code_new, done_now,
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    eta_ref[:] = out[0]
+    heta_ref[:] = out[1]
+    stats_ref[0, 0] = out[9]
+    stats_ref[1, 0] = out[10]
+
+
+@functools.partial(jax.jit, static_argnames=("maxinner", "mininner"))
+def pallas_tcg_sphere_quadratic(zs, x, y_over_c, grad, radius, *, maxinner,
+                                mininner=1, theta=1.0, kappa=0.1):
+    """Fused tCG for sphere-quadratic barrier subproblems.
+
+    Returns (eta, Heta, iterations, stop_code) with the same stop-code
+    convention as ``ops.tcg.truncated_cg``.
+    """
+    n = zs.shape[0]
+    xzx = x @ (zs @ x)
+    norm_r0 = jnp.linalg.norm(grad)
+    target = norm_r0 * jnp.minimum(norm_r0**theta, kappa)
+    linear_flag = (kappa < norm_r0**theta).astype(jnp.float32)
+    scal = jnp.stack(
+        [
+            xzx.astype(jnp.float32),
+            jnp.asarray(radius, jnp.float32),
+            target.astype(jnp.float32),
+            linear_flag,
+        ]
+    ).reshape(4, 1)
+    col = lambda a: a.reshape(n, 1).astype(jnp.float32)
+    eta, heta, stats = pl.pallas_call(
+        functools.partial(_tcg_kernel, maxinner=maxinner, mininner=mininner),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((2, 1), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec((4, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1), memory_space=pltpu.SMEM),
+        ),
+    )(scal, zs.astype(jnp.float32), col(x), col(y_over_c), col(grad))
+    return eta.reshape(n), heta.reshape(n), stats[0, 0], stats[1, 0]
+
+
 @functools.partial(jax.jit, static_argnames=("n_iters",))
 def chained_barrier_matvec(zs, x, y_over_c, v0, n_iters: int):
     """K normalized Hw matvecs with everything VMEM-resident."""

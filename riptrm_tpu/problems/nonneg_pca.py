@@ -53,6 +53,7 @@ def make_problem(Z, x0, y0=None, dtype=None) -> Problem:
         num_ineq=n,
         num_eq=0,
         manvio=manvio,
+        structure={"kind": "sphere_quadratic", "Zs": Zs},
     )
 
 

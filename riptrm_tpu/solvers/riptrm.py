@@ -117,6 +117,10 @@ def default_option():
         "const_left": 0.5,
         "const_right": 1e20,
         "checkTRSoptimality": False,
+        # TPU-only: run the whole tCG loop as one fused Pallas kernel when
+        # the problem carries matching structure metadata (VMEM-resident
+        # subproblem; float32).
+        "use_pallas_tcg": False,
         "verbosity": 0,
         "save_inner_iteration": True,
         "wandb_logging": False,
@@ -231,17 +235,39 @@ def make_step(problem, option):
             cx_dx = c_vec @ coeff
             dxtype = trs_code
         else:
-            dx, h_dx, tcg_iters, tcg_code = truncated_cg(
-                man,
-                x,
-                hw,
-                cx,
-                tr_radius,
-                theta=option["tCG_theta"],
-                kappa=option["tCG_kappa"],
-                mininner=option["tCG_mininner"],
-                maxinner=dim,
+            use_pallas = (
+                option["use_pallas_tcg"]
+                and problem.structure is not None
+                and problem.structure.get("kind") == "sphere_quadratic"
             )
+            if use_pallas:
+                from riptrm_tpu.ops.pallas_kernels import (
+                    pallas_tcg_sphere_quadratic,
+                )
+
+                zs = problem.structure["Zs"]
+                dt = state.y.dtype
+                dx, h_dx, tcg_iters, tcg_code = pallas_tcg_sphere_quadratic(
+                    zs, x, y / c, cx, tr_radius,
+                    maxinner=dim,
+                    mininner=option["tCG_mininner"],
+                    theta=option["tCG_theta"],
+                    kappa=option["tCG_kappa"],
+                )
+                dx = dx.astype(dt)
+                h_dx = h_dx.astype(dt)
+            else:
+                dx, h_dx, tcg_iters, tcg_code = truncated_cg(
+                    man,
+                    x,
+                    hw,
+                    cx,
+                    tr_radius,
+                    theta=option["tCG_theta"],
+                    kappa=option["tCG_kappa"],
+                    mininner=option["tCG_mininner"],
+                    maxinner=dim,
+                )
             hw_dx_dx = man.inner(x, dx, h_dx)
             cx_dx = man.inner(x, cx, dx)
             dxtype = 10 + tcg_code

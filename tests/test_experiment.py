@@ -41,6 +41,18 @@ def test_sweep_cross_product(tmp_path):
     assert combos == {(i, p_) for i in (1, 2, 3) for p_ in ("a", "b")}
 
 
+def test_sweep_interpolation_after_sweep_values(tmp_path):
+    """Regression: ${...} paths must reflect the swept value of each job,
+    not the config default (all jobs once wrote to the same directory)."""
+    p = tmp_path / "c.yaml"
+    p.write_text(
+        "problem_name: X\npt: a\nout: inter/${pt}\n"
+        "sweeper:\n  params:\n    pt: a,b,c\n"
+    )
+    cfgs = sweep_configs(str(p))
+    assert sorted(c.out for c in cfgs) == ["inter/a", "inter/b", "inter/c"]
+
+
 def test_sweep_cli_override_axis(tmp_path):
     p = tmp_path / "c.yaml"
     p.write_text("problem_name: X\n")

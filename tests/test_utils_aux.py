@@ -1,0 +1,91 @@
+"""Auxiliary subsystem tests: profiling timers, host sharding, QP edge
+cases, analyzer CLI wiring."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from riptrm_tpu.ops.qp import solve_qp
+from riptrm_tpu.parallel.distributed import host_shard
+from riptrm_tpu.utils.profiling import device_timer
+
+
+def test_device_timer():
+    f = jax.jit(lambda x: x @ x)
+    t = device_timer(f, jnp.ones((64, 64)), warmup=1, reps=3)
+    assert 0 < t < 5.0
+
+
+def test_host_shard_partition():
+    items = list(range(10))
+    shards = [host_shard(items, process_id=i, num=3) for i in range(3)]
+    assert sorted(sum(shards, [])) == items
+    assert all(len(s) in (3, 4) for s in shards)
+
+
+def test_host_shard_single_process():
+    assert host_shard([1, 2, 3]) == [1, 2, 3]
+
+
+class TestQPEdgeCases:
+    def test_equality_constrained(self):
+        """QP with equality constraints (RSQO would hit this on problems
+        with eq constraints)."""
+        n = 6
+        rng = np.random.default_rng(0)
+        L = rng.normal(size=(n, n))
+        Q = jnp.asarray(L @ L.T + np.eye(n))
+        p = jnp.asarray(rng.normal(size=n))
+        G = jnp.asarray(rng.normal(size=(4, n)))
+        h = jnp.asarray(np.full(4, 10.0))  # inactive
+        A = jnp.asarray(rng.normal(size=(2, n)))
+        b = jnp.asarray(rng.normal(size=2))
+        sol = solve_qp(Q, p, G, h, A, b)
+        # KKT: equality feasibility + stationarity
+        np.testing.assert_allclose(np.asarray(A @ sol.x - b), 0, atol=1e-7)
+        grad = np.asarray(Q @ sol.x + p + G.T @ sol.z + A.T @ sol.y)
+        assert np.linalg.norm(grad) < 1e-6
+
+    def test_ill_conditioned(self):
+        """alpha=1e7 Rosenbrock-style conditioning."""
+        n = 8
+        rng = np.random.default_rng(1)
+        Q = jnp.asarray(np.diag(np.geomspace(1e-2, 1e7, n)))
+        p = jnp.asarray(rng.normal(size=n) * 1e3)
+        G = jnp.asarray(-np.eye(n))
+        h = jnp.asarray(np.full(n, 0.01))  # x >= -0.01
+        sol = solve_qp(Q, p, G, h)
+        assert int(sol.status) == 0
+        assert np.all(np.asarray(G @ sol.x - h) < 1e-7)
+
+    def test_active_constraints_multipliers(self):
+        """Binding constraint must yield a positive multiplier."""
+        Q = jnp.eye(2)
+        p = jnp.asarray([-10.0, 0.0])
+        G = jnp.asarray([[1.0, 0.0]])
+        h = jnp.asarray([1.0])  # x0 <= 1 binds (unconstrained optimum x0=10)
+        sol = solve_qp(Q, p, G, h)
+        assert float(sol.x[0]) == pytest.approx(1.0, abs=1e-7)
+        assert float(sol.z[0]) == pytest.approx(9.0, abs=1e-5)
+
+
+def test_benchmark_summary_format(tmp_path, monkeypatch):
+    """benchmark.main writes a JSON summary keyed problem/inst/pt/solver."""
+    monkeypatch.chdir("/root/repo")
+    import riptrm_tpu.experiment.benchmark as bm
+
+    # tiny budget, one problem, one solver
+    bm.main(
+        [
+            "--scale", "0.01", "--problems", "NonnegPCA", "--solvers", "RIPTRM",
+            "solver_option.common.maxiter=3",
+            f"output_path={tmp_path}/out",
+            "--summary", f"{tmp_path}/summary.json",
+        ]
+    )
+    with open(f"{tmp_path}/summary.json") as f:
+        summary = json.load(f)
+    assert any(k.startswith("NonnegPCA/1/a/RIPTRM") for k in summary)
