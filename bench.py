@@ -110,6 +110,22 @@ def main():
     inner_per_s = inner_steps / t_solve
     outer_per_s = outer_iters / t_solve
 
+    # ---- 2a. compiled solve with the fused Pallas tCG kernel -------------
+    pallas_solve_stats = {}
+    if pallas_matvecs_per_s:
+        solver_p = RIPTRM(option | {"use_pallas_tcg": True})
+        solve_p = jax.jit(solver_p.solve_compiled(problem, max_steps=SOLVE_STEPS))
+        st_p, k_p = solve_p(state0)
+        jax.block_until_ready(st_p)
+        t0 = time.perf_counter()
+        st_p, k_p = solve_p(state0)
+        jax.block_until_ready(st_p)
+        t_p = time.perf_counter() - t0
+        pallas_solve_stats = {
+            "pallas_solve_inner_steps_per_sec": round(int(k_p) / t_p, 1),
+            "pallas_solve_ms": round(t_p * 1e3, 2),
+        }
+
     # ---- 2b. batched multi-start sweep throughput (dp axis on one chip) --
     from riptrm_tpu.parallel.sweep import batched_riptrm_solve
 
@@ -169,6 +185,7 @@ def main():
             "outer_iters_per_sec": round(outer_per_s, 2),
             "inner_steps": inner_steps,
             "outer_iters": outer_iters,
+            **pallas_solve_stats,
             "batch16_solves_per_sec": round(batch_solves_per_s, 3),
             "batch16_inner_steps_per_sec": round(batch_inner_per_s, 1),
             "batch16_max_residual": float(jnp.max(res_b)),

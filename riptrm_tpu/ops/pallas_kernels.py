@@ -8,8 +8,14 @@ instead of once per matvec (XLA's scan re-reads Z from HBM every
 iteration).  This is the speed-of-light form of the tCG inner loop
 (``RIPTRM.py:729`` hot op; SURVEY.md §7 step 9).
 
-Math (NonnegPCA on S^{n-1}, c = slack = x, P = I - x x^T):
-    Hw(v) = -2 P(Zs v) + 2 (x' Zs x) v + P((y / c) * v)
+Math (NonnegPCA on S^{n-1}, c = slack = x, P = I - x x^T).  With
+L = f + y.g, f = -x'Zs x, g = -x, the sphere curvature correction uses the
+*Lagrangian* euclidean gradient (-2 Zs x - y), so
+
+    Hw(v) = -2 P(Zs v) + (2 x'Zs x + x'y) v + P((y / c) * v)
+
+— the x'y term comes from the constraint Hessians
+(rhess g_i[v] = x_i v on the sphere).
 """
 
 from __future__ import annotations
@@ -22,23 +28,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _chain_kernel(xzx_ref, z_ref, x_ref, w_ref, v_ref, out_ref, *, n_iters):
+def _chain_kernel(corr_ref, z_ref, x_ref, w_ref, v_ref, out_ref, *, n_iters):
     """One kernel invocation runs the whole chain in VMEM.
 
-    xzx_ref: [1, 1] scalar x'Zs x (SMEM); z_ref: [n, n] symmetrized Z;
+    corr_ref: [1, 1] scalar 2 x'Zs x + x'y (SMEM); z_ref: [n, n] symmetrized Z;
     x_ref: [n, 1] point; w_ref: [n, 1] barrier weights y/c;
     v_ref: [n, 1] start vector.
     """
     x = x_ref[:]
     w = w_ref[:]
-    xzx = xzx_ref[0, 0]
+    corr = corr_ref[0, 0]
 
     def body(_, v):
         zv = jnp.dot(z_ref[:], v, preferred_element_type=jnp.float32)
         pzv = zv - x * jnp.sum(x * zv)
         bar = w * v
         pbar = bar - x * jnp.sum(x * bar)
-        hv = -2.0 * pzv + 2.0 * xzx * v + pbar
+        hv = -2.0 * pzv + corr * v + pbar
         return hv / jnp.sqrt(jnp.sum(hv * hv))
 
     out_ref[:] = jax.lax.fori_loop(0, n_iters, body, v_ref[:])
@@ -50,7 +56,7 @@ def _tcg_kernel(
 ):
     """Entire Steihaug-Toint tCG loop in one kernel, all state in VMEM.
 
-    scal_ref (SMEM [4,1]): [xzx, radius, target, linear_flag] — target and
+    scal_ref (SMEM [4,1]): [corr, radius, target, linear_flag] — target and
     the linear/superlinear classification are precomputed on the host side
     of the graph because Mosaic has no float pow.
     Mirrors ops/tcg.py::truncated_cg (itself the reference's vendored
@@ -59,7 +65,7 @@ def _tcg_kernel(
     """
     x = x_ref[:]
     w = w_ref[:]
-    xzx = scal_ref[0, 0]
+    corr = scal_ref[0, 0]
     radius = scal_ref[1, 0]
     target = scal_ref[2, 0]
     linear_flag = scal_ref[3, 0]
@@ -70,7 +76,7 @@ def _tcg_kernel(
         pzv = zv - x * jnp.sum(x * zv)
         bar = w * v
         pbar = bar - x * jnp.sum(x * bar)
-        return -2.0 * pzv + 2.0 * xzx * v + pbar
+        return -2.0 * pzv + corr * v + pbar
 
     def proj(v):
         return v - x * jnp.sum(x * v)
@@ -156,13 +162,14 @@ def pallas_tcg_sphere_quadratic(zs, x, y_over_c, grad, radius, *, maxinner,
     convention as ``ops.tcg.truncated_cg``.
     """
     n = zs.shape[0]
-    xzx = x @ (zs @ x)
+    # 2 x'Zs x (cost curvature) + x'y (constraint curvature); y_i = w_i * x_i
+    corr = 2.0 * (x @ (zs @ x)) + jnp.sum(y_over_c * x * x)
     norm_r0 = jnp.linalg.norm(grad)
     target = norm_r0 * jnp.minimum(norm_r0**theta, kappa)
     linear_flag = (kappa < norm_r0**theta).astype(jnp.float32)
     scal = jnp.stack(
         [
-            xzx.astype(jnp.float32),
+            corr.astype(jnp.float32),
             jnp.asarray(radius, jnp.float32),
             target.astype(jnp.float32),
             linear_flag,
@@ -196,7 +203,9 @@ def pallas_tcg_sphere_quadratic(zs, x, y_over_c, grad, radius, *, maxinner,
 def chained_barrier_matvec(zs, x, y_over_c, v0, n_iters: int):
     """K normalized Hw matvecs with everything VMEM-resident."""
     n = zs.shape[0]
-    xzx = (x @ (zs @ x)).reshape(1, 1).astype(jnp.float32)
+    corr = (2.0 * (x @ (zs @ x)) + jnp.sum(y_over_c * x * x)).reshape(1, 1).astype(
+        jnp.float32
+    )
     col = lambda a: a.reshape(n, 1).astype(jnp.float32)
     out = pl.pallas_call(
         functools.partial(_chain_kernel, n_iters=n_iters),
@@ -209,5 +218,5 @@ def chained_barrier_matvec(zs, x, y_over_c, v0, n_iters: int):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-    )(xzx, zs.astype(jnp.float32), col(x), col(y_over_c), col(v0))
+    )(corr, zs.astype(jnp.float32), col(x), col(y_over_c), col(v0))
     return out.reshape(n)

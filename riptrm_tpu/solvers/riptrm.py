@@ -329,14 +329,23 @@ def make_step(problem, option):
         infeasible = (~converged) & (~xfeas)
 
         # ---- ared / pred and radius update (RIPTRM.py:631-705) ---------
-        phi_cur = _log_barrier(problem, x, mu)
-        phi_new = _log_barrier(problem, x_new, mu)
+        # The reference computes phi(x) - phi(xNew) with phi = f - mu*sum(log c)
+        # (RIPTRM.py:656-658).  The two barrier sums are O(n) magnitudes and
+        # cancel catastrophically in f32, so compute the difference directly:
+        # ared = [f(x) - f(xNew)] + mu * sum(log(cNew_i / c_i)) — identical in
+        # exact arithmetic, conditioned on the (small) per-element ratios.
+        safe_c = jnp.where(c > 0, c, 1.0)
+        ratio = jnp.where((c_new > 0) & (c > 0), c_new / safe_c, 1.0)
+        ared_raw = (problem.cost(x) - problem.cost(x_new)) + mu * jnp.sum(
+            jnp.log(ratio)
+        )
+        phi_cur = _log_barrier(problem, x, mu)  # scale only (regularization)
         red_reg = (
             jnp.maximum(1.0, jnp.abs(phi_cur))
             * jnp.finfo(normdx.dtype).eps
             * option["reduction_regularization"]
         )
-        ared = phi_cur - phi_new + red_reg
+        ared = ared_raw + red_reg
         pred = -0.5 * hw_dx_dx - cx_dx + red_reg
 
         shrink = ared < 0.25 * pred
