@@ -92,6 +92,87 @@ class WallClock:
         return self.elapsed() >= self.maxtime
 
 
+def host_run(
+    *,
+    name: str,
+    option: dict,
+    state,
+    step,  # state -> (state, info dict)
+    evaluate,  # (x_prev, state) -> eval dict (jnp scalars)
+    status_row,  # (state, info) -> status dict for the log
+    get_x,  # state -> x
+    verbosity_line=None,  # (iteration, eval) -> str, optional
+):
+    """Shared host-driven loop for the single-level solvers (RIPM / RSQO /
+    RALM): evaluate -> log -> stop checks -> step, with the reference's
+    stopping semantics (``base_solver.py:85-107``) and per-step
+    ``do_exit_on_error`` (e.g. ``RSQO.py:319-324``).
+
+    Returns (final_state, log_dict, stop_reason).
+    """
+    log = LogAccumulator()
+    clock = WallClock(option["maxtime"])
+    info: dict = {}
+    x_prev = get_x(state)
+    iteration = 0
+    stop_reason = None
+    while True:
+        try:
+            ev = evaluate(x_prev, state)
+        except Exception as e:
+            if option["do_exit_on_error"]:
+                print(f"Error: {e}")
+                break
+            raise
+        run_time = 0.0 if iteration == 0 else clock.elapsed()
+        log.add(iteration, run_time, ev, status_row(state, info))
+        maybe_wandb_log(option, {k: float(v) for k, v in ev.items()} | {"time": run_time})
+
+        residual = float(ev["residual"])
+        x_prev = get_x(state)
+        if option.get("verbosity") and verbosity_line:
+            print(verbosity_line(iteration, ev))
+        if residual <= option["tolresid"]:
+            stop_reason = (
+                f"KKT residual tolerance reached; current residual={residual} "
+                f"and tolresid={option['tolresid']}"
+            )
+            break
+        if clock.exceeded():
+            stop_reason = (
+                f"Max time exceeded; runtime={clock.elapsed():.2f} and "
+                f"maxtime={option['maxtime']}"
+            )
+            break
+        if iteration >= option["maxiter"]:
+            stop_reason = (
+                f"Max iteration count reached; maxiter={option['maxiter']} "
+                f"after {clock.elapsed():.2f} seconds"
+            )
+            break
+        iteration += 1
+        try:
+            state, info = step(state)
+        except Exception as e:
+            if option["do_exit_on_error"]:
+                print(f"Error: {e}")
+                break
+            raise
+    return state, log.as_dict(), stop_reason
+
+
+def max_abs_multiplier(*mult_arrays) -> float:
+    """maxabsLagmult log field (e.g. ``RIPTRM.py:1020-1023``)."""
+    import jax.numpy as jnp
+
+    vals = [
+        abs(float(v))
+        for arr in mult_arrays
+        for v in np.atleast_1d(np.asarray(arr))
+    ]
+    return max(vals, default=float("-inf"))
+
+
 def maybe_wandb_init(option: dict, name: str):
     if not option.get("wandb_logging", False):
         return None

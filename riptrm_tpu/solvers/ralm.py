@@ -23,12 +23,11 @@ import jax.numpy as jnp
 
 from riptrm_tpu.ops.kkt import evaluation
 from riptrm_tpu.solvers.base import (
-    LogAccumulator,
     Output,
-    WallClock,
+    host_run,
+    max_abs_multiplier,
     maybe_wandb_finish,
     maybe_wandb_init,
-    maybe_wandb_log,
     merge_options,
 )
 from riptrm_tpu.solvers.subsolvers import conjugate_gradient, steepest_descent
@@ -218,71 +217,39 @@ class RALM:
     def run(self, problem) -> Output:
         option = self.option
         maybe_wandb_init(option, self.name)
-        log = LogAccumulator()
         state = init_state(problem, option)
         # AOT-compile before the clock starts (compile is excluded time).
         step = jax.jit(make_step(problem, option)).lower(state).compile()
         y0e, z0e = eval_multipliers(problem, state, option)
-        eval_fn = (
+        eval_jit = (
             jax.jit(lambda s, y, z, xp: evaluation(problem, xp, s.x, y, z))
             .lower(state, y0e, z0e, state.x)
             .compile()
         )
-        clock = WallClock(option["maxtime"])
 
-        stop_reason = None
-        x_prev = state.x
-        iteration = 0
-        while True:
-            y_eval, z_eval = eval_multipliers(problem, state, option)
-            try:
-                ev = eval_fn(state, y_eval, z_eval, x_prev)
-            except Exception as e:
-                if option["do_exit_on_error"]:
-                    print(f"Error: {e}")
-                    break
-                raise
-            status = {
-                "rho": state.rho,
-                "maxabsLagmult": float(
-                    max(
-                        [abs(float(v)) for v in jnp.atleast_1d(y_eval)] + [abs(float(v)) for v in jnp.atleast_1d(z_eval)],
-                        default=float("-inf"),
-                    )
-                ),
+        def evaluate(x_prev, st):
+            y_eval, z_eval = eval_multipliers(problem, st, option)
+            return eval_jit(st, y_eval, z_eval, x_prev)
+
+        def status_row(st, info):
+            y_eval, z_eval = eval_multipliers(problem, st, option)
+            return {
+                "rho": st.rho,
+                "maxabsLagmult": max_abs_multiplier(y_eval, z_eval),
             }
-            run_time = 0.0 if iteration == 0 else clock.elapsed()
-            log.add(iteration, run_time, ev, status)
-            maybe_wandb_log(option, {k: float(v) for k, v in ev.items()} | {"time": run_time})
 
-            residual = float(ev["residual"])
-            x_prev = state.x
-            if residual <= option["tolresid"]:
-                stop_reason = (
-                    f"KKT residual tolerance reached; current residual={residual} "
-                    f"and tolresid={option['tolresid']}"
-                )
-                break
-            if clock.exceeded():
-                stop_reason = (
-                    f"Max time exceeded; runtime={clock.elapsed():.2f} and "
-                    f"maxtime={option['maxtime']}"
-                )
-                break
-            if iteration >= option["maxiter"]:
-                stop_reason = (
-                    f"Max iteration count reached; maxiter={option['maxiter']} "
-                    f"after {clock.elapsed():.2f} seconds"
-                )
-                break
-            iteration += 1
-            try:
-                state, _ = step(state)
-            except Exception as e:
-                if option["do_exit_on_error"]:
-                    print(f"Error: {e}")
-                    break
-                raise
+        state, log, stop_reason = host_run(
+            name=self.name,
+            option=option,
+            state=state,
+            step=step,
+            evaluate=evaluate,
+            status_row=status_row,
+            get_x=lambda st: st.x,
+            verbosity_line=lambda i, ev: (
+                f"Iter: {i}, Cost: {float(ev['cost'])}, KKT residual: {float(ev['residual'])}"
+            ),
+        )
 
         self.option["stoppingcriterion"] = stop_reason
         maybe_wandb_finish(option)
@@ -294,5 +261,5 @@ class RALM:
             ineqLagmult=y_eval,
             eqLagmult=z_eval,
             option=copy.deepcopy(opt_out),
-            log=log.as_dict(),
+            log=log,
         )

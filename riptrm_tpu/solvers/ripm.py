@@ -31,12 +31,11 @@ from riptrm_tpu.ops.basis import materialize_symmetrized
 from riptrm_tpu.ops.conjres import conjugate_residual
 from riptrm_tpu.ops.kkt import evaluation
 from riptrm_tpu.solvers.base import (
-    LogAccumulator,
     Output,
-    WallClock,
+    host_run,
+    max_abs_multiplier,
     maybe_wandb_finish,
     maybe_wandb_init,
-    maybe_wandb_log,
     merge_options,
 )
 
@@ -489,11 +488,10 @@ class RIPM:
     def run(self, problem) -> Output:
         option = self.option
         maybe_wandb_init(option, self.name)
-        log = LogAccumulator()
         step_fn = make_step(problem, option)
         state, tau_1, tau_2 = init_state(problem, option)
         # AOT-compile before the clock starts (compile is excluded time).
-        step = (
+        step_c = (
             jax.jit(lambda st, t1, t2: step_fn(st, t1, t2))
             .lower(state, tau_1, tau_2)
             .compile()
@@ -503,31 +501,13 @@ class RIPM:
             .lower(state.x, state)
             .compile()
         )
-        clock = WallClock(option["maxtime"])
 
-        info = {}
-        x_prev = state.x
-        iteration = 0
-        stop_reason = None
-        while True:
-            try:
-                ev = eval_fn(x_prev, state)
-            except Exception as e:
-                if option["do_exit_on_error"]:
-                    print(f"Error: {e}")
-                    break
-                raise
+        def status_row(st, info):
             status = {
-                "Phi": state.phi,
-                "sigma": state.sigma,
-                "rho": state.rho,
-                "maxabsLagmult": float(
-                    max(
-                        [abs(float(v)) for v in jnp.atleast_1d(state.z)]
-                        + [abs(float(v)) for v in jnp.atleast_1d(state.y)],
-                        default=float("-inf"),
-                    )
-                ),
+                "Phi": st.phi,
+                "sigma": st.sigma,
+                "rho": st.rho,
+                "maxabsLagmult": max_abs_multiplier(st.z, st.y),
             }
             for key in (
                 "normNTdirx", "normNTdirw", "stepsize", "linesearch_status",
@@ -546,38 +526,20 @@ class RIPM:
                     status[key] = None
                 elif not key.startswith(("Krylov", "NTdir", "CovDeriv")):
                     status[key] = info.get(key)
-            run_time = 0.0 if iteration == 0 else clock.elapsed()
-            log.add(iteration, run_time, ev, status)
-            maybe_wandb_log(option, {k: float(v) for k, v in ev.items()} | {"time": run_time})
+            return status
 
-            residual = float(ev["residual"])
-            x_prev = state.x
-            if residual <= option["tolresid"]:
-                stop_reason = (
-                    f"KKT residual tolerance reached; current residual={residual} "
-                    f"and tolresid={option['tolresid']}"
-                )
-                break
-            if clock.exceeded():
-                stop_reason = (
-                    f"Max time exceeded; runtime={clock.elapsed():.2f} and "
-                    f"maxtime={option['maxtime']}"
-                )
-                break
-            if iteration >= option["maxiter"]:
-                stop_reason = (
-                    f"Max iteration count reached; maxiter={option['maxiter']} "
-                    f"after {clock.elapsed():.2f} seconds"
-                )
-                break
-            iteration += 1
-            try:
-                state, info = step(state, tau_1, tau_2)
-            except Exception as e:
-                if option["do_exit_on_error"]:
-                    print(f"Error: {e}")
-                    break
-                raise
+        state, log, stop_reason = host_run(
+            name=self.name,
+            option=option,
+            state=state,
+            step=lambda st: step_c(st, tau_1, tau_2),
+            evaluate=eval_fn,
+            status_row=status_row,
+            get_x=lambda st: st.x,
+            verbosity_line=lambda i, ev: (
+                f"Iter: {i}, Cost: {float(ev['cost'])}, KKT residual: {float(ev['residual'])}"
+            ),
+        )
 
         self.option["stoppingcriterion"] = stop_reason
         maybe_wandb_finish(option)
@@ -588,5 +550,5 @@ class RIPM:
             ineqLagmult=state.z,
             eqLagmult=state.y,
             option=copy.deepcopy(opt_out),
-            log=log.as_dict(),
+            log=log,
         )

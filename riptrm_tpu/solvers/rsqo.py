@@ -26,12 +26,11 @@ from riptrm_tpu.ops.basis import materialize_symmetrized
 from riptrm_tpu.ops.kkt import evaluation
 from riptrm_tpu.ops.qp import solve_qp
 from riptrm_tpu.solvers.base import (
-    LogAccumulator,
     Output,
-    WallClock,
+    host_run,
+    max_abs_multiplier,
     maybe_wandb_finish,
     maybe_wandb_init,
-    maybe_wandb_log,
     merge_options,
 )
 
@@ -276,7 +275,6 @@ class RSQO:
     def run(self, problem) -> Output:
         option = self.option
         maybe_wandb_init(option, self.name)
-        log = LogAccumulator()
         state = init_state(problem, option)
         # AOT-compile before the clock starts (compile is excluded time).
         step = jax.jit(make_step(problem, option)).lower(state).compile()
@@ -285,28 +283,12 @@ class RSQO:
             .lower(state.x, state)
             .compile()
         )
-        clock = WallClock(option["maxtime"])
 
-        info = {}
-        x_prev = state.x
-        iteration = 0
-        stop_reason = None
-        while True:
-            try:
-                ev = eval_fn(x_prev, state)
-            except Exception as e:
-                if option["do_exit_on_error"]:
-                    print(f"Error: {e}")
-                    break
-                raise
-            status = {"rho": state.rho}
-            status["maxabsLagmult"] = float(
-                max(
-                    [abs(float(v)) for v in jnp.atleast_1d(state.y)]
-                    + [abs(float(v)) for v in jnp.atleast_1d(state.z)],
-                    default=float("-inf"),
-                )
-            )
+        def status_row(st, info):
+            status = {
+                "rho": st.rho,
+                "maxabsLagmult": max_abs_multiplier(st.y, st.z),
+            }
             for key in (
                 "upsilon", "quadoptim_status", "quadoptim_iter", "quadoptim_gap",
                 "quadoptim_primalinfeasibility", "quadoptim_dualinfeasibility",
@@ -314,38 +296,20 @@ class RSQO:
                 "linesearch_counter",
             ):
                 status[key] = info.get(key)
-            run_time = 0.0 if iteration == 0 else clock.elapsed()
-            log.add(iteration, run_time, ev, status)
-            maybe_wandb_log(option, {k: float(v) for k, v in ev.items()} | {"time": run_time})
+            return status
 
-            residual = float(ev["residual"])
-            x_prev = state.x
-            if residual <= option["tolresid"]:
-                stop_reason = (
-                    f"KKT residual tolerance reached; current residual={residual} "
-                    f"and tolresid={option['tolresid']}"
-                )
-                break
-            if clock.exceeded():
-                stop_reason = (
-                    f"Max time exceeded; runtime={clock.elapsed():.2f} and "
-                    f"maxtime={option['maxtime']}"
-                )
-                break
-            if iteration >= option["maxiter"]:
-                stop_reason = (
-                    f"Max iteration count reached; maxiter={option['maxiter']} "
-                    f"after {clock.elapsed():.2f} seconds"
-                )
-                break
-            iteration += 1
-            try:
-                state, info = step(state)
-            except Exception as e:
-                if option["do_exit_on_error"]:
-                    print(f"Error: {e}")
-                    break
-                raise
+        state, log, stop_reason = host_run(
+            name=self.name,
+            option=option,
+            state=state,
+            step=step,
+            evaluate=eval_fn,
+            status_row=status_row,
+            get_x=lambda st: st.x,
+            verbosity_line=lambda i, ev: (
+                f"Iter: {i}, Cost: {float(ev['cost'])}, KKT residual: {float(ev['residual'])}"
+            ),
+        )
 
         self.option["stoppingcriterion"] = stop_reason
         maybe_wandb_finish(option)
@@ -356,5 +320,5 @@ class RSQO:
             ineqLagmult=state.y,
             eqLagmult=state.z,
             option=copy.deepcopy(opt_out),
-            log=log.as_dict(),
+            log=log,
         )
