@@ -78,7 +78,10 @@ def main():
     # Pallas VMEM-resident chain (Z loaded from HBM once per chain)
     pallas_matvecs_per_s = None
     try:
-        from riptrm_tpu.ops.pallas_kernels import chained_barrier_matvec
+        from riptrm_tpu.ops.pallas_kernels import chained_barrier_matvec, fits_in_vmem
+
+        if not fits_in_vmem(N):
+            raise RuntimeError(f"n={N} exceeds the VMEM-resident budget")
 
         zs = jnp.asarray(0.5 * (data["Z"] + data["Z"].T), dtype)
         c_slack = problem.slack(x)

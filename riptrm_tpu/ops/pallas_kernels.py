@@ -27,6 +27,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# VMEM is ~16 MB/core; the whole-Z-resident kernels need Z plus a few
+# n-vectors to fit.  Beyond this, callers should use the XLA path (or a
+# future grid-blocked kernel).
+VMEM_BUDGET_BYTES = 14 * 1024 * 1024
+
+
+def fits_in_vmem(n: int, dtype_bytes: int = 4) -> bool:
+    return n * n * dtype_bytes + 8 * n * dtype_bytes <= VMEM_BUDGET_BYTES
+
 
 def _chain_kernel(corr_ref, z_ref, x_ref, w_ref, v_ref, out_ref, *, n_iters):
     """One kernel invocation runs the whole chain in VMEM.

@@ -72,11 +72,14 @@ def generate_instance(key, dim: int, snr: float = 0.5, delta: float = 0.7):
     """
     k1, k2, k3 = jax.random.split(key, 3)
     samplesize = int(np.floor(delta * dim))
-    s = jax.random.choice(k1, dim, (samplesize,), replace=False)
-    v = jnp.zeros((dim,)).at[s].set(1.0 / np.sqrt(samplesize))
+    # permutation + mask instead of scatter; random.choice(replace=False)
+    # and scatter updates compile pathologically slowly on this backend
+    support = jax.random.permutation(k1, dim) < samplesize
+    v = support / np.sqrt(samplesize)
     noise = jax.random.normal(k2, (dim, dim)) / np.sqrt(dim)
     diag_noise = jax.random.normal(k3, (dim,)) * 2.0 / np.sqrt(dim)
-    noise = noise.at[jnp.arange(dim), jnp.arange(dim)].set(diag_noise)
+    eye = jnp.eye(dim)
+    noise = noise * (1.0 - eye) + jnp.diag(diag_noise)
     z = jnp.sqrt(snr) * jnp.outer(v, v) + noise
     return {"dim": np.array([[dim]]), "Z": np.asarray(z)}
 

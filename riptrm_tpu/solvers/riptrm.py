@@ -235,11 +235,16 @@ def make_step(problem, option):
             cx_dx = c_vec @ coeff
             dxtype = trs_code
         else:
-            use_pallas = (
+            if (
                 option["use_pallas_tcg"]
                 and problem.structure is not None
                 and problem.structure.get("kind") == "sphere_quadratic"
-            )
+            ):
+                from riptrm_tpu.ops.pallas_kernels import fits_in_vmem
+
+                use_pallas = fits_in_vmem(man.dim + 1)
+            else:
+                use_pallas = False
             if use_pallas:
                 from riptrm_tpu.ops.pallas_kernels import (
                     pallas_tcg_sphere_quadratic,
