@@ -44,6 +44,9 @@ def main():
         "tolresid": 3e-4,
         "TRS_solver": "tCG",
         "second_order_stationarity": False,
+        # f32 can stall an inner loop at fixed mu (TR collapse at rounding
+        # scale); bound it so compiled solves always make outer progress.
+        "inner_maxiter": 100,
     }
     solver = RIPTRM(option)
     state0 = init_state(problem, solver.option)

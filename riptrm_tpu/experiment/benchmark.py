@@ -21,7 +21,7 @@ import sys
 import numpy as np
 
 from riptrm_tpu.experiment.analyzer import best_residual_within, filter_riptrm_rows, load_log
-from riptrm_tpu.experiment.cfg import load_config, solver_options_from_cfg, sweep_configs
+from riptrm_tpu.experiment.cfg import sweep_configs
 from riptrm_tpu.experiment.simulator import Simulator
 from riptrm_tpu.parallel.distributed import host_shard
 

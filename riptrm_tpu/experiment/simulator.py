@@ -12,7 +12,6 @@ CLI:
 
 from __future__ import annotations
 
-import csv
 import logging
 import os
 import sys

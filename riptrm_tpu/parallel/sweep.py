@@ -16,12 +16,10 @@ TPU-native equivalent: the sweep axes become a *batch axis* —
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from riptrm_tpu.ops.kkt import compute_residual
 from riptrm_tpu.solvers.riptrm import RIPTRM, RiptrmState, init_state

@@ -163,8 +163,6 @@ def host_run(
 
 def max_abs_multiplier(*mult_arrays) -> float:
     """maxabsLagmult log field (e.g. ``RIPTRM.py:1020-1023``)."""
-    import jax.numpy as jnp
-
     vals = [
         abs(float(v))
         for arr in mult_arrays
@@ -173,26 +171,48 @@ def max_abs_multiplier(*mult_arrays) -> float:
     return max(vals, default=float("-inf"))
 
 
+def _wandb():
+    """Optional wandb import: disabled with a one-time warning when absent
+    (it is an optional extra, as in the reference's pip list)."""
+    try:
+        import wandb
+
+        return wandb
+    except ImportError:
+        import warnings
+
+        warnings.warn("wandb_logging requested but wandb is not installed; disabled.")
+        return None
+
+
 def maybe_wandb_init(option: dict, name: str):
     if not option.get("wandb_logging", False):
         return None
-    import wandb  # optional dependency, reference uses it the same way
-
+    wandb = _wandb()
+    if wandb is None:
+        option["wandb_logging"] = False
+        return None
     wandb.finish()
-    return wandb.init(project=option.get("wandb_project", "riptrm_tpu"), name=name, config={k: v for k, v in option.items() if not callable(v)})
+    return wandb.init(
+        project=option.get("wandb_project", "riptrm_tpu"),
+        name=name,
+        config={k: v for k, v in option.items() if not callable(v)},
+    )
 
 
 def maybe_wandb_log(option: dict, row: dict):
     if not option.get("wandb_logging", False):
         return
-    import wandb
-
+    wandb = _wandb()
+    if wandb is None:
+        option["wandb_logging"] = False
+        return
     wandb.log({k: v for k, v in row.items() if not isinstance(v, (list, np.ndarray))})
 
 
 def maybe_wandb_finish(option: dict):
     if not option.get("wandb_logging", False):
         return
-    import wandb
-
-    wandb.finish()
+    wandb = _wandb()
+    if wandb is not None:
+        wandb.finish()

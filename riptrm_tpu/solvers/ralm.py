@@ -15,7 +15,6 @@ while_loop solve + multiplier updates) is one jitted function.
 from __future__ import annotations
 
 import copy
-import time
 from typing import NamedTuple
 
 import jax

@@ -33,8 +33,6 @@ from __future__ import annotations
 
 import copy
 import os
-import time
-from functools import partial
 from typing import NamedTuple
 
 import jax
