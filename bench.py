@@ -194,6 +194,7 @@ def main():
             **pallas_solve_stats,
             "batch16_solves_per_sec": round(batch_solves_per_s, 3),
             "batch16_inner_steps_per_sec": round(batch_inner_per_s, 1),
+            "batch16_median_residual": float(jnp.median(res_b)),
             "batch16_max_residual": float(jnp.max(res_b)),
             "final_kkt_residual": float(
                 __import__("riptrm_tpu.ops.kkt", fromlist=["compute_residual"]).compute_residual(
