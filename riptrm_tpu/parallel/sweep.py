@@ -159,6 +159,31 @@ def batched_solver_sweep(problem, solver_name: str, option, max_steps: int):
     return jax.jit(jax.vmap(one))
 
 
+def instance_batched_riptrm(option, max_steps: int):
+    """Batch over problem *instances* x initial points simultaneously
+    (BASELINE.json config 4: "NonnegPCA large-n batched: vmapped instances
+    x multi-start initial points on one host").
+
+    The problem is constructed inside the vmapped function, so the instance
+    data (Z) is a traced, batched argument — instances and starts fuse into
+    one MXU-batched compiled solve.
+
+    Returns a jitted fn (Zs [B,n,n], xs0 [B,n], ys0 [B,n]) ->
+    (x_final, y_final, steps, residuals).
+    """
+    from riptrm_tpu.problems import nonneg_pca
+
+    def one(z, x0, y0):
+        problem = nonneg_pca.make_problem(z, x0)
+        solver = RIPTRM(option)
+        solve = solver.solve_compiled(problem, max_steps)
+        st, k = solve(init_state_from(problem, solver.option, x0, y0))
+        res = compute_residual(problem, st.x, st.y, jnp.zeros((0,)))[0]
+        return st.x, st.y, k, res
+
+    return jax.jit(jax.vmap(one))
+
+
 def run_sweep(problem, option, xs0, ys0, *, max_steps=2000, mesh=None, axis="dp"):
     """Convenience wrapper: sharded when a mesh is given, else vmapped."""
     xs0 = jnp.asarray(xs0)

@@ -193,12 +193,15 @@ def solve_compiled(problem, option, max_steps: int):
             return (~done) & (k < max_steps) & (k < maxiter)
 
         def body(carry):
-            st, k, _ = carry
+            # freeze per-lane state when done (vmapped lanes run in lockstep)
+            st, k, done = carry
             new_st, _ = step(st)
             y_eval = new_st.y_unbd if option["LagmultUnbdUpdate"] else new_st.y
             z_eval = new_st.z_unbd if option["LagmultUnbdUpdate"] else new_st.z
             res = compute_residual(problem, new_st.x, y_eval, z_eval)[0]
-            return (new_st, k + 1, res <= tolresid)
+            new_done = done | (res <= tolresid)
+            st_out = jax.tree.map(lambda o, n: jnp.where(done, o, n), st, new_st)
+            return (st_out, k + jnp.where(done, 0, 1), new_done)
 
         st, k, _ = jax.lax.while_loop(
             cond, body, (state, jnp.asarray(0), jnp.asarray(False))

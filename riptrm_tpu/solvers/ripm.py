@@ -462,11 +462,13 @@ def solve_compiled(problem, option, max_steps: int):
             return (~done) & (k < max_steps)
 
         def body(carry):
-            st, k, _ = carry
+            # freeze per-lane state when done (vmapped lanes run in lockstep)
+            st, k, done = carry
             new_st, _ = step(st, tau_1, tau_2)
             res = compute_residual(problem, new_st.x, new_st.z, new_st.y)[0]
-            done = (res <= tolresid) | (new_st.iteration >= maxiter)
-            return (new_st, k + 1, done)
+            new_done = done | (res <= tolresid) | (new_st.iteration >= maxiter)
+            st_out = jax.tree.map(lambda o, n: jnp.where(done, o, n), st, new_st)
+            return (st_out, k + jnp.where(done, 0, 1), new_done)
 
         st, k, _ = jax.lax.while_loop(
             cond, body, (state, jnp.asarray(0), jnp.asarray(False))

@@ -758,12 +758,18 @@ class RIPTRM:
             return (~done) & (k < max_steps)
 
         def body(carry):
-            state, k, _ = carry
+            # Freeze the state once done: under vmap the loop runs until ALL
+            # lanes finish, and without the freeze finished lanes would keep
+            # stepping past their stopping point.
+            state, k, done = carry
             new_state, info = step(state)
-            done = (info["converged"] & (info["residual"] <= tolresid)) | (
-                new_state.outer_iter >= maxiter
+            new_done = done | (
+                info["converged"] & (info["residual"] <= tolresid)
+            ) | (new_state.outer_iter >= maxiter)
+            state_out = jax.tree.map(
+                lambda old, new: jnp.where(done, old, new), state, new_state
             )
-            return (new_state, k + 1, done)
+            return (state_out, k + jnp.where(done, 0, 1), new_done)
 
         def solve(state):
             state, k, _ = jax.lax.while_loop(
