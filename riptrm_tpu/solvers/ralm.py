@@ -49,6 +49,12 @@ def default_option():
         "startingtolgradnorm": 1e-3,
         "endingtolgradnorm": 1e-6,
         "innerminstepsize": 1e-10,
+        # The reference computes the geometric inner-tolerance decay but
+        # never persists it (RALM.py:140 re-reads startingtolgradnorm every
+        # step; :228's decayed value is a discarded local), so its inner
+        # solves always run at startingtolgradnorm.  False reproduces that
+        # behavior; True enables the decay the algorithm intends.
+        "tolgradnorm_decay_fix": False,
         "verbosity": 0,
         "wandb_logging": False,
         "do_exit_on_error": True,
@@ -93,11 +99,18 @@ def make_step(problem, option):
             val = val + 0.5 * rho * jnp.sum((z / rho + h) ** 2)
         return val
 
+    decay_fix = option["tolgradnorm_decay_fix"]
+
     def step(state: RalmState):
         y, z, rho = state.y, state.z, state.rho
 
         cost = lambda x: al_cost(x, y, z, rho)
         rgrad = lambda x: man.egrad2rgrad(x, jax.grad(cost)(x))
+        inner_tol = (
+            state.tolgradnorm
+            if decay_fix
+            else jnp.asarray(option["startingtolgradnorm"], dtype=rho.dtype)
+        )
         result = subsolver(
             man,
             cost,
@@ -105,7 +118,7 @@ def make_step(problem, option):
             state.x,
             max_iterations=option["maxInnerIter"],
             min_step_size=option["innerminstepsize"],
-            min_gradient_norm=state.tolgradnorm,
+            min_gradient_norm=inner_tol,
         )
         x = result.point
 
@@ -125,12 +138,11 @@ def make_step(problem, option):
             newacc = jnp.maximum(newacc, jnp.max(jnp.abs(h)))
             z = jnp.minimum(bound, jnp.maximum(-bound, z + rho * h))
 
-        # rho update (RALM.py:225-227); OuterIteration==0 can't occur here
-        # because step is called with outer_iter >= 1 (as in the reference,
-        # which increments before calling step).
-        rho = jnp.where(
-            (state.outer_iter == 0) | (newacc > tau * state.oldacc), rho / thetarho, rho
-        )
+        # rho update (RALM.py:225-227).  The reference's 'OuterIteration == 0'
+        # branch can never fire (run() increments before calling step, so the
+        # argument is always >= 1); only the accuracy test remains.  With
+        # oldacc = inf initially, the first step never increases rho.
+        rho = jnp.where(newacc > tau * state.oldacc, rho / thetarho, rho)
         tolgradnorm = jnp.maximum(ending, state.tolgradnorm * theta_tol)
 
         new_state = RalmState(
