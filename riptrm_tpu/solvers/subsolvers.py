@@ -94,6 +94,7 @@ def steepest_descent(
 
     class State(NamedTuple):
         x: object
+        g: object  # gradient at x (one rgrad per iteration, pymanopt-style)
         f: jnp.ndarray
         oldf: jnp.ndarray
         have_oldf: jnp.ndarray
@@ -105,6 +106,7 @@ def steepest_descent(
     g0 = rgrad(x0)
     st0 = State(
         x=x0,
+        g=g0,
         f=f0,
         oldf=f0,
         have_oldf=jnp.asarray(False),
@@ -121,33 +123,32 @@ def steepest_descent(
         )
 
     def body(st):
-        g = rgrad(st.x)
-        gradnorm = manifold.norm(st.x, g)
-        d = jax.tree.map(lambda a: -a, g)
-        df0 = -(gradnorm**2)
+        d = jax.tree.map(lambda a: -a, st.g)
+        df0 = -(st.gradnorm**2)
         # warm-started initial step (pymanopt optimism rule)
         alpha_warm = jnp.where(
             st.have_oldf,
             optimism * 2.0 * (st.f - st.oldf) / jnp.where(df0 == 0, 1.0, df0),
-            initial_step_size / jnp.maximum(gradnorm, 1e-30),
+            initial_step_size / jnp.maximum(st.gradnorm, 1e-30),
         )
         alpha_warm = jnp.maximum(alpha_warm, 1e-30)
         ls = _backtracking_line_search(
             manifold, cost, st.x, d, st.f, df0, alpha_warm
         )
+        g_new = rgrad(ls.x_new)
         return State(
             x=ls.x_new,
+            g=g_new,
             f=ls.f_new,
             oldf=st.f,
             have_oldf=jnp.asarray(True),
-            stepsize=ls.alpha * gradnorm,
-            gradnorm=gradnorm,
+            stepsize=ls.alpha * st.gradnorm,
+            gradnorm=manifold.norm(ls.x_new, g_new),
             k=st.k + 1,
         )
 
     st = jax.lax.while_loop(cond, body, st0)
-    g = rgrad(st.x)
-    return SubsolverResult(st.x, st.f, manifold.norm(st.x, g), st.k)
+    return SubsolverResult(st.x, st.f, st.gradnorm, st.k)
 
 
 def conjugate_gradient(
