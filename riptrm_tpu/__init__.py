@@ -15,12 +15,31 @@ shirokumakur0/Riemannian-interior-point-trust-region-method:
   a host-driven wall-clock loop and inside ``lax.while_loop`` for fully
   compiled, vmappable solves.
 - ``ops``: tangent-space linear algebra (batched basis materialization,
-  truncated CG, Moré-Sorensen TRS, conjugate residual, a jittable QP IPM).
-- ``experiment``: config / generator / simulator / sweep pipeline preserving
-  the reference's CSV dataset contract.
-- ``parallel``: vmap + shard_map sweep execution over device meshes.
+  truncated CG, Moré-Sorensen TRS, conjugate residual, a jittable QP IPM,
+  spectra, Pallas TPU kernels).
+- ``experiment``: config / generator / simulator / analyzer / benchmark
+  pipeline preserving the reference's CSV dataset contract, plus
+  checkpoint/resume.
+- ``parallel``: vmap + shard_map sweep execution over device meshes and
+  multi-host job sharding.
 """
 
-from riptrm_tpu import manifolds, ops, problems, solvers  # noqa: F401
+from riptrm_tpu import config, manifolds, ops, parallel, problems, solvers  # noqa: F401
+from riptrm_tpu.problems import Problem  # noqa: F401
+from riptrm_tpu.solvers import RALM, RIPM, RIPTRM, RSQO  # noqa: F401
 
 __version__ = "0.1.0"
+
+__all__ = [
+    "config",
+    "manifolds",
+    "ops",
+    "parallel",
+    "problems",
+    "solvers",
+    "Problem",
+    "RALM",
+    "RIPM",
+    "RIPTRM",
+    "RSQO",
+]

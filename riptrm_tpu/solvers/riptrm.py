@@ -778,3 +778,62 @@ class RIPTRM:
             return state, k
 
         return solve
+
+    # ------------------------------------------------------------------
+    def solve_compiled_traced(self, problem, max_steps: int):
+        """Compiled solve that also records a compact per-step trace into
+        fixed buffers (SURVEY §7.7: per-iteration log capture from stacked
+        outputs) so batched/sharded sweeps retain residual trajectories.
+
+        Returns solve(state) -> (state, steps, trace) where trace is a dict
+        of [max_steps] arrays (residual, mu, cost, inner_status, outer_iter);
+        rows beyond ``steps`` hold NaN / -1.
+        """
+        option = self.option
+        step = make_step(problem, option)
+        tolresid = option["tolresid"]
+        maxiter = option["maxiter"]
+
+        def solve(state):
+            dt = state.mu.dtype
+            nan = jnp.asarray(jnp.nan, dtype=dt)
+            buf0 = {
+                "residual": jnp.full((max_steps,), nan),
+                "mu": jnp.full((max_steps,), nan),
+                "cost": jnp.full((max_steps,), nan),
+                "inner_status": jnp.full((max_steps,), -1, dtype=jnp.int32),
+                "outer_iter": jnp.full((max_steps,), -1, dtype=jnp.int32),
+            }
+
+            def cond(carry):
+                state, k, done, _ = carry
+                return (~done) & (k < max_steps)
+
+            def body(carry):
+                state, k, done, buf = carry
+                new_state, info = step(state)
+                new_done = done | (
+                    info["converged"] & (info["residual"] <= tolresid)
+                ) | (new_state.outer_iter >= maxiter)
+                row = {
+                    "residual": info["residual"],
+                    "mu": info["mu"],
+                    "cost": info["cost"],
+                    "inner_status": info["inner_status"].astype(jnp.int32),
+                    "outer_iter": new_state.outer_iter.astype(jnp.int32),
+                }
+                buf = {
+                    name: jnp.where(done, arr, arr.at[k].set(row[name]))
+                    for name, arr in buf.items()
+                }
+                state_out = jax.tree.map(
+                    lambda old, new: jnp.where(done, old, new), state, new_state
+                )
+                return (state_out, k + jnp.where(done, 0, 1), new_done, buf)
+
+            state, k, _, buf = jax.lax.while_loop(
+                cond, body, (state, jnp.asarray(0), jnp.asarray(False), buf0)
+            )
+            return state, k, buf
+
+        return solve

@@ -58,3 +58,21 @@ def test_batched_lanes_freeze_at_stop():
     assert np.all(np.asarray(resb) < 1e-7)
     # not all lanes take the same number of steps (they stop individually)
     assert len(set(ks)) > 1
+
+
+def test_traced_compiled_solve():
+    """Compiled solve with per-step trace buffers: trajectories retained
+    for batched sweeps (rows beyond the stop hold NaN)."""
+    from riptrm_tpu.problems import nonneg_pca
+    from riptrm_tpu.solvers.riptrm import RIPTRM, init_state
+
+    p = nonneg_pca.load_problem("dataset/NonnegPCA/1", "a")
+    solver = RIPTRM(OPTION | {"maxiter": 15})
+    solve = jax.jit(solver.solve_compiled_traced(p, max_steps=300))
+    st, k, trace = solve(init_state(p, solver.option))
+    k = int(k)
+    res = np.asarray(trace["residual"])
+    assert k > 0
+    assert res[k - 1] < res[0]
+    assert np.isnan(res[k:]).all()
+    assert np.all(np.asarray(trace["outer_iter"])[:k] >= 0)
