@@ -9,6 +9,7 @@ Parity targets: ``pymanopt.manifolds.Euclidean`` (dual/slack spaces,
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +35,7 @@ class Euclidean(Manifold):
 
     @property
     def typical_dist(self) -> float:
-        return float(jnp.sqrt(self.dim))
+        return math.sqrt(self.dim)
 
     def inner(self, x, u, v):
         return jnp.vdot(u, v)
@@ -78,7 +79,7 @@ class SkewSymmetric(Manifold):
 
     @property
     def typical_dist(self) -> float:
-        return float(jnp.sqrt(self.dim))
+        return math.sqrt(self.dim)
 
     def inner(self, x, u, v):
         return jnp.vdot(u, v)
@@ -121,7 +122,7 @@ class Symmetric(Manifold):
 
     @property
     def typical_dist(self) -> float:
-        return float(jnp.sqrt(self.dim))
+        return math.sqrt(self.dim)
 
     def inner(self, x, u, v):
         return jnp.vdot(u, v)

@@ -14,6 +14,7 @@ X_perp), so basis vectors are X_perp[:, k] e_j^T — closed form, batched.
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +33,7 @@ class Grassmann(Manifold):
 
     @property
     def typical_dist(self) -> float:
-        return float(jnp.sqrt(self.p))
+        return math.sqrt(self.p)
 
     def inner(self, x, u, v):
         return jnp.vdot(u, v)

@@ -12,6 +12,7 @@ ever materialized.
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +33,7 @@ class Product(Manifold):
 
     @property
     def typical_dist(self) -> float:
-        return float(jnp.sqrt(sum(m.typical_dist**2 for m in self.manifolds)))
+        return math.sqrt(sum(m.typical_dist**2 for m in self.manifolds))
 
     def _zip(self, *trees):
         return zip(self.manifolds, *trees)

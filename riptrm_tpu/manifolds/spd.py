@@ -14,6 +14,7 @@ Gram-Schmidt.
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +33,7 @@ class SymmetricPositiveDefinite(Manifold):
 
     @property
     def typical_dist(self) -> float:
-        return float(jnp.sqrt(self.dim))
+        return math.sqrt(self.dim)
 
     def inner(self, x, u, v):
         l = jnp.linalg.cholesky(x)

@@ -13,6 +13,7 @@ instead of the reference's random-vector Gram-Schmidt
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +31,7 @@ class Sphere(Manifold):
 
     @property
     def typical_dist(self) -> float:
-        return float(jnp.pi)
+        return math.pi
 
     def inner(self, x, u, v):
         return jnp.vdot(u, v)
