@@ -26,6 +26,9 @@ SOLVE_STEPS = 400
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
     from riptrm_tpu.problems import nonneg_pca
@@ -39,14 +42,19 @@ def main():
     x0 = x0 / np.linalg.norm(x0)
     problem = nonneg_pca.make_problem(data["Z"], x0, dtype=dtype)
 
+    # f32-aware forcing floors: the reference's 1e-14 floors assume f64.  At
+    # f32 the complementarity norm carries ~eps*sqrt(m)*O(mu-scale) noise, so
+    # once 1e-3*mu falls below that the inner loop can never converge and the
+    # solve stalls on the central path at residual ~ mu_stall*sqrt(m).
+    import jax.numpy as _jnp
+
     option = {
         "maxiter": 60,
         "tolresid": 3e-4,
         "TRS_solver": "tCG",
         "second_order_stationarity": False,
-        # f32 can stall an inner loop at fixed mu (TR collapse at rounding
-        # scale); bound it so compiled solves always make outer progress.
-        "inner_maxiter": 100,
+        "forcing_function_Lagrangian": lambda mu: _jnp.maximum(mu, 1e-4),
+        "forcing_function_complementarity": lambda mu: _jnp.maximum(1e-3 * mu, 2e-4),
     }
     solver = RIPTRM(option)
     state0 = init_state(problem, solver.option)
@@ -140,7 +148,17 @@ def main():
     xs0 = jnp.abs(jax.random.normal(kb, (B, N), dtype=dtype))
     xs0 = xs0 / jnp.linalg.norm(xs0, axis=1, keepdims=True)
     ys0 = jnp.ones((B, N), dtype=dtype)
-    bsolve = batched_riptrm_solve(problem, option, max_steps=SOLVE_STEPS)
+    # Batched lanes run their matvecs through the MXU at default (bf16-pass)
+    # precision, whose noise floor sits far above scalar f32; forcing
+    # tolerances must stay above it or the inner loop can never satisfy
+    # them once 1e-3*mu drops below the noise (the solve then stalls on the
+    # central path at residual ~ mu_stall * sqrt(m)).
+    batch_option = option | {
+        "tolresid": 5e-3,
+        "forcing_function_Lagrangian": lambda mu: _jnp.maximum(mu, 3e-3),
+        "forcing_function_complementarity": lambda mu: _jnp.maximum(1e-3 * mu, 3e-3),
+    }
+    bsolve = batched_riptrm_solve(problem, batch_option, max_steps=SOLVE_STEPS)
     states_b, kb_, res_b = bsolve(xs0, ys0)
     jax.block_until_ready(res_b)
     t0 = time.perf_counter()

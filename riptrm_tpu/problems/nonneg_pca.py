@@ -68,8 +68,19 @@ def load_problem(dataset_path: str, initialpoint: str = "a", dtype=None) -> Prob
 def generate_instance(key, dim: int, snr: float = 0.5, delta: float = 0.7):
     """Spiked-covariance instance (reference ``generator.py:9-31``).
 
-    Returns dict of arrays matching the dataset CSV contract.
+    Returns dict of arrays matching the dataset CSV contract.  Runs on the
+    CPU backend: data generation is not a hot path and remote-TPU compiles
+    of these one-shot graphs are slow and uncached.
     """
+    cpu = jax.devices("cpu")[0]
+    # device_put the key too: a TPU-resident key would drag every eager op
+    # back to the remote TPU backend despite default_device.
+    key = jax.device_put(key, cpu)
+    with jax.default_device(cpu):
+        return _generate_instance(key, dim, snr, delta)
+
+
+def _generate_instance(key, dim, snr, delta):
     k1, k2, k3 = jax.random.split(key, 3)
     samplesize = int(np.floor(delta * dim))
     # permutation + mask instead of scatter; random.choice(replace=False)
