@@ -148,17 +148,15 @@ def main():
     xs0 = jnp.abs(jax.random.normal(kb, (B, N), dtype=dtype))
     xs0 = xs0 / jnp.linalg.norm(xs0, axis=1, keepdims=True)
     ys0 = jnp.ones((B, N), dtype=dtype)
-    # Batched lanes run their matvecs through the MXU at default (bf16-pass)
-    # precision, whose noise floor sits far above scalar f32; forcing
-    # tolerances must stay above it or the inner loop can never satisfy
-    # them once 1e-3*mu drops below the noise (the solve then stalls on the
-    # central path at residual ~ mu_stall * sqrt(m)).
-    batch_option = option | {
-        "tolresid": 5e-3,
-        "forcing_function_Lagrangian": lambda mu: _jnp.maximum(mu, 3e-3),
-        "forcing_function_complementarity": lambda mu: _jnp.maximum(1e-3 * mu, 3e-3),
-    }
-    bsolve = batched_riptrm_solve(problem, batch_option, max_steps=SOLVE_STEPS)
+    # Batched lanes run their matvecs through the MXU, whose default
+    # bf16-pass precision has a noise floor far above scalar f32 and stalls
+    # the inner loop at tight tolerances (BENCH.md precision notes);
+    # full-f32 matmuls let every lane reach the same tolerance as the
+    # single solve.
+    problem_hp = nonneg_pca.make_problem(
+        data["Z"], x0, dtype=dtype, matmul_precision="highest"
+    )
+    bsolve = batched_riptrm_solve(problem_hp, option, max_steps=SOLVE_STEPS)
     states_b, kb_, res_b = bsolve(xs0, ys0)
     jax.block_until_ready(res_b)
     t0 = time.perf_counter()

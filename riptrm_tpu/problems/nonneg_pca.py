@@ -20,7 +20,11 @@ from riptrm_tpu.problems.problem import Problem
 from riptrm_tpu.utils.io import loadtxt
 
 
-def make_problem(Z, x0, y0=None, dtype=None) -> Problem:
+def make_problem(Z, x0, y0=None, dtype=None, matmul_precision=None) -> Problem:
+    """``matmul_precision``: None uses the backend default (bf16 passes on
+    the TPU MXU for batched lanes); 'highest' forces full-f32 matmuls —
+    needed when f32 batched sweeps must reach tight KKT tolerances
+    (see BENCH.md precision notes)."""
     Z = jnp.asarray(Z, dtype=dtype)
     # -x'Zx == -x'(Z+Z')x/2 exactly; symmetrizing once at build time halves
     # the HVP memory traffic (one matvec per Hessian application instead of
@@ -35,6 +39,9 @@ def make_problem(Z, x0, y0=None, dtype=None) -> Problem:
         y0 = jnp.asarray(y0, dtype=x0.dtype)
 
     def cost(x):
+        if matmul_precision is not None:
+            with jax.default_matmul_precision(matmul_precision):
+                return -(x @ (Zs @ x))
         return -(x @ (Zs @ x))
 
     def ineq(x):
