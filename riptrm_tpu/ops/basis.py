@@ -37,6 +37,35 @@ def materialize_symmetrized(manifold, x, basis, op):
     return 0.5 * (a + a.T)
 
 
+def materialize_sharded(manifold, x, basis, op, mesh, axis: str = "tp"):
+    """``materialize`` with the batched HVP fan-out sharded over a mesh axis.
+
+    For large single instances (SURVEY §2.3 "shard the HVP matvec"): each
+    device computes dim/axis_size columns of the representing matrix; the
+    result is all-gathered so every device holds the full dim x dim matrix
+    for the downstream TRS/eigh.  dim must be divisible by the axis size
+    (pad the basis otherwise).
+    """
+    dim = manifold.dim
+    n_shards = mesh.shape[axis]
+    assert dim % n_shards == 0, f"dim {dim} not divisible by {axis}={n_shards}"
+    eye = jnp.eye(dim)
+
+    def column(e):
+        return manifold.to_coords(x, basis, op(manifold.from_coords(x, basis, e)))
+
+    def shard_fn(eye_chunk):
+        cols = jax.vmap(column)(eye_chunk)  # [dim/n_shards, dim]
+        return jax.lax.all_gather(cols, axis, tiled=True)  # [dim, dim]
+
+    from jax.sharding import PartitionSpec as P
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=P(axis), out_specs=P(), check_vma=False
+    )
+    return fn(eye).T
+
+
 def covector(manifold, x, basis, v):
     """Coordinates of a tangent vector v (reference ``tangent2vec``,
     ``utils.py:575-580``)."""

@@ -73,3 +73,21 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     g.dryrun_multichip(8)
+
+
+def test_sharded_materialization():
+    """Sharded Hessian materialization over a tp axis matches the dense
+    single-device result (SURVEY §2.3: shard the HVP fan-out)."""
+    from riptrm_tpu.ops.basis import materialize_sharded, materialize_symmetrized
+    from riptrm_tpu.problems import stable_identification as si
+
+    problem = si.load_problem("dataset/StableIdentification/1", "a")
+    man = problem.manifold  # dim = 40, divisible by 8
+    x = problem.x0
+    basis = man.basis(x)
+    op = problem.lag_rhess_at(x, problem.y0)
+    dense = materialize_symmetrized(man, x, basis, op)
+    mesh = make_mesh({"tp": 8})
+    sharded = materialize_sharded(man, x, basis, op, mesh, axis="tp")
+    sharded = 0.5 * (sharded + sharded.T)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense), atol=1e-10)
