@@ -22,6 +22,15 @@ import numpy as np
 N = 1000
 MATVEC_CHAIN = 512
 SOLVE_STEPS = 400
+# Remote-TPU compile latency is highly variable (seconds to minutes per new
+# program); skip the optional measurements when the deadline approaches so
+# the headline JSON line always prints within the driver's budget.
+DEADLINE_S = 480.0
+_START = time.time()
+
+
+def _time_left(margin: float = 60.0) -> bool:
+    return time.time() - _START < DEADLINE_S - margin
 
 
 def main():
@@ -126,7 +135,7 @@ def main():
 
     # ---- 2a. compiled solve with the fused Pallas tCG kernel -------------
     pallas_solve_stats = {}
-    if pallas_matvecs_per_s:
+    if pallas_matvecs_per_s and _time_left(120.0):
         solver_p = RIPTRM(option | {"use_pallas_tcg": True})
         solve_p = jax.jit(solver_p.solve_compiled(problem, max_steps=SOLVE_STEPS))
         st_p, k_p = solve_p(state0)
@@ -143,6 +152,7 @@ def main():
     # ---- 2b. batched multi-start sweep throughput (dp axis on one chip) --
     from riptrm_tpu.parallel.sweep import batched_riptrm_solve
 
+    batch_stats = {}
     B = 16
     kb = jax.random.PRNGKey(7)
     xs0 = jnp.abs(jax.random.normal(kb, (B, N), dtype=dtype))
@@ -153,18 +163,25 @@ def main():
     # the inner loop at tight tolerances (BENCH.md precision notes);
     # full-f32 matmuls let every lane reach the same tolerance as the
     # single solve.
-    problem_hp = nonneg_pca.make_problem(
-        data["Z"], x0, dtype=dtype, matmul_precision="highest"
-    )
-    bsolve = batched_riptrm_solve(problem_hp, option, max_steps=SOLVE_STEPS)
-    states_b, kb_, res_b = bsolve(xs0, ys0)
-    jax.block_until_ready(res_b)
-    t0 = time.perf_counter()
-    states_b, kb_, res_b = bsolve(xs0, ys0)
-    jax.block_until_ready(res_b)
-    t_batch = time.perf_counter() - t0
-    batch_solves_per_s = B / t_batch
-    batch_inner_per_s = B * int(jnp.max(kb_)) / t_batch
+    if _time_left(150.0):
+        problem_hp = nonneg_pca.make_problem(
+            data["Z"], x0, dtype=dtype, matmul_precision="highest"
+        )
+        bsolve = batched_riptrm_solve(problem_hp, option, max_steps=SOLVE_STEPS)
+        states_b, kb_, res_b = bsolve(xs0, ys0)
+        jax.block_until_ready(res_b)
+        t0 = time.perf_counter()
+        states_b, kb_, res_b = bsolve(xs0, ys0)
+        jax.block_until_ready(res_b)
+        t_batch = time.perf_counter() - t0
+        batch_stats = {
+            "batch16_solves_per_sec": round(B / t_batch, 3),
+            "batch16_inner_steps_per_sec": round(
+                B * int(jnp.max(kb_)) / t_batch, 1
+            ),
+            "batch16_median_residual": float(jnp.median(res_b)),
+            "batch16_max_residual": float(jnp.max(res_b)),
+        }
 
     # ---- 3. NumPy host baseline for the same chained matvec -------------
     z_np = np.asarray(data["Z"], dtype=np.float64)
@@ -208,10 +225,7 @@ def main():
             "inner_steps": inner_steps,
             "outer_iters": outer_iters,
             **pallas_solve_stats,
-            "batch16_solves_per_sec": round(batch_solves_per_s, 3),
-            "batch16_inner_steps_per_sec": round(batch_inner_per_s, 1),
-            "batch16_median_residual": float(jnp.median(res_b)),
-            "batch16_max_residual": float(jnp.max(res_b)),
+            **batch_stats,
             "final_kkt_residual": float(
                 __import__("riptrm_tpu.ops.kkt", fromlist=["compute_residual"]).compute_residual(
                     problem, st.x, st.y, jnp.zeros((0,))
