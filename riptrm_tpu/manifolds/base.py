@@ -78,6 +78,12 @@ class Manifold:
     def ehess2rhess(self, x: PyTree, egrad: PyTree, ehess: PyTree, v: PyTree) -> PyTree:
         raise NotImplementedError
 
+    # ---- vector transport --------------------------------------------------
+    def transport(self, x, y, v):
+        """Transport tangent v from T_x to T_y (default: projection
+        transport — the standard choice for embedded manifolds)."""
+        return self.proj(y, v)
+
     # ---- randomness (explicit keys; reference uses global numpy RNG) -------
     def random_point(self, key: Array) -> PyTree:
         raise NotImplementedError
