@@ -7,6 +7,14 @@ FixedRankEmbedded").  Geometry follows Vandereycken (2013): tangent
 vectors are stored in the ambient form U M V' + Up V' + U Vp' as the triple
 (M [k,k], Up [m,k], Vp [n,k]) with U'Up = 0, V'Vp = 0; the metric is the
 Euclidean metric of the embedding.
+
+Integration status: the geometry (projection, retraction, curvature
+correction, transport) is complete and tested; wiring it through the
+constrained solvers requires the Problem layer to differentiate costs with
+respect to the *embedded* matrix (ambient egrad/ehess) rather than the
+(U, S, V) pytree — planned follow-up.  Until then use it with the
+matrix-free unconstrained machinery (tCG / conjugate residual / Lanczos)
+on ambient-space operators.
 """
 
 from __future__ import annotations
