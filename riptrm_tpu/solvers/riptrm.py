@@ -352,7 +352,13 @@ def make_step(problem, option):
         pred = -0.5 * hw_dx_dx - cx_dx + red_reg
 
         shrink = ared < 0.25 * pred
-        expand = (ared >= 0.75 * pred) & (jnp.abs(normdx - tr_radius) <= 1e-15)
+        # Boundary-step detection for expansion (reference: |dx| == TR to
+        # 1e-15, RIPTRM.py:670).  1e-15 is an f64 assumption — at f32 it can
+        # never fire and the radius never expands; scale with the dtype eps
+        # there while keeping exact reference semantics at f64.
+        eps_dt = jnp.finfo(normdx.dtype).eps
+        boundary_tol = 1e-15 if eps_dt < 1e-12 else 8.0 * eps_dt * tr_radius
+        expand = (ared >= 0.75 * pred) & (jnp.abs(normdx - tr_radius) <= boundary_tol)
         tr_updated = jnp.where(
             shrink,
             0.25 * tr_radius,
