@@ -78,6 +78,13 @@ class Manifold:
     def ehess2rhess(self, x: PyTree, egrad: PyTree, ehess: PyTree, v: PyTree) -> PyTree:
         raise NotImplementedError
 
+    def proj_tangent(self, x: PyTree, t: PyTree) -> PyTree:
+        """Re-project a (numerically drifted) *tangent-typed* value back onto
+        T_x M.  Identical to ``proj`` when tangents share the ambient
+        representation (every manifold here except FixedRankEmbedded, whose
+        structured tangents need their own re-orthogonalization)."""
+        return self.proj(x, t)
+
     # ---- vector transport --------------------------------------------------
     def transport(self, x, y, v):
         """Transport tangent v from T_x to T_y (default: projection

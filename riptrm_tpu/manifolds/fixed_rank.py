@@ -8,13 +8,14 @@ vectors are stored in the ambient form U M V' + Up V' + U Vp' as the triple
 (M [k,k], Up [m,k], Vp [n,k]) with U'Up = 0, V'Vp = 0; the metric is the
 Euclidean metric of the embedding.
 
-Integration status: the geometry (projection, retraction, curvature
-correction, transport) is complete and tested; wiring it through the
-constrained solvers requires the Problem layer to differentiate costs with
-respect to the *embedded* matrix (ambient egrad/ehess) rather than the
-(U, S, V) pytree — planned follow-up.  Until then use it with the
-matrix-free unconstrained machinery (tCG / conjugate residual / Lanczos)
-on ambient-space operators.
+Solver integration: constrained problems on this manifold are built with
+``problems.embedded.ambient_problem`` (cost/constraints as functions of the
+embedded matrix; all derivatives chain through ``embed_point`` /
+``embed_tangent``) and run through the matrix-free solver paths —
+RIPTRM(tCG), RIPM(KrylovIterMethod), RALM.  See ``problems/low_rank.py``
+for a full problem family and ``tests/test_embedded.py`` for coverage.
+Dense-basis paths (Exact_RepMat, RepresentMatMethod, RSQO) are
+intentionally unsupported: there is no closed-form dense tangent basis.
 """
 
 from __future__ import annotations
@@ -67,6 +68,13 @@ class FixedRankEmbedded(Manifold):
         up = zv - u @ m_
         vp = uz - v @ m_.T
         return (m_, up, vp)
+
+    def proj_tangent(self, x, t):
+        """Re-impose the structural constraints U'Up = 0, V'Vp = 0 on a
+        drifted structured tangent (tCG iterates accumulate roundoff)."""
+        u, _, v = x
+        m_, up, vp = t
+        return (m_, up - u @ (u.T @ up), vp - v @ (v.T @ vp))
 
     def retract(self, x, t):
         """Metric projection retraction: rank-k truncated SVD of X + t."""

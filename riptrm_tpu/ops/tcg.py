@@ -127,7 +127,7 @@ def truncated_cg(
         z_new = precond(r_new)
         z_r_new = inner(z_new, r_new)
         beta = _safe_div(z_r_new, st.z_r)
-        delta_new = manifold.proj(
+        delta_new = manifold.proj_tangent(
             x, jax.tree.map(lambda z, d: -z + beta * d, z_new, st.delta)
         )
 

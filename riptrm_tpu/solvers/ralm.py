@@ -88,16 +88,34 @@ def make_step(problem, option):
         else conjugate_gradient
     )
 
-    def al_cost(x, y, z, rho):
-        """AL function (RALM.py:144-153)."""
-        val = problem.cost(x)
-        if problem.has_ineq:
-            g = problem.ineq(x)
+    def _al_terms(val, g, h, y, z, rho):
+        """AL function formula (RALM.py:144-153)."""
+        if g is not None:
             val = val + 0.5 * rho * jnp.sum(jnp.maximum(0.0, y / rho + g) ** 2)
-        if problem.has_eq:
-            h = problem.eq(x)
+        if h is not None:
             val = val + 0.5 * rho * jnp.sum((z / rho + h) ** 2)
         return val
+
+    # Embedded problems (fixed-rank): differentiate the AL in the AMBIENT
+    # space so egrad2rgrad receives an ambient matrix, not a gradient with
+    # respect to the factored (U, S, V) representation.
+    embedded = getattr(problem, "a_cost", None) is not None
+
+    def al_cost(x, y, z, rho):
+        return _al_terms(
+            problem.cost(x),
+            problem.ineq(x) if problem.has_ineq else None,
+            problem.eq(x) if problem.has_eq else None,
+            y, z, rho,
+        )
+
+    def al_ambient(xa, y, z, rho):
+        return _al_terms(
+            problem.a_cost(xa),
+            problem.a_ineq(xa) if problem.has_ineq else None,
+            problem.a_eq(xa) if problem.has_eq else None,
+            y, z, rho,
+        )
 
     decay_fix = option["tolgradnorm_decay_fix"]
 
@@ -105,7 +123,12 @@ def make_step(problem, option):
         y, z, rho = state.y, state.z, state.rho
 
         cost = lambda x: al_cost(x, y, z, rho)
-        rgrad = lambda x: man.egrad2rgrad(x, jax.grad(cost)(x))
+        if embedded:
+            rgrad = lambda x: man.egrad2rgrad(
+                x, jax.grad(al_ambient)(man.embed_point(x), y, z, rho)
+            )
+        else:
+            rgrad = lambda x: man.egrad2rgrad(x, jax.grad(cost)(x))
         inner_tol = (
             state.tolgradnorm
             if decay_fix

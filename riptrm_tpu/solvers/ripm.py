@@ -95,15 +95,14 @@ def _phi(problem, x, fx, fy, fz, fs):
 
 
 def _gx_pos(problem, x, v):
-    """Sum_i v_i * rgrad g_i (RIPM's barGx uses +grad g, ``RIPM.py:33-38``)."""
-    _, pullback = jax.vjp(problem.ineq, x)
-    (eg,) = pullback(v)
-    return problem.manifold.egrad2rgrad(x, eg)
+    """Sum_i v_i * rgrad g_i (RIPM's barGx uses +grad g, ``RIPM.py:33-38``).
+    Delegates to ``problem.gx`` (sign-flipped: gx works on the slack c = -g)
+    so embedded problems differentiate in ambient space."""
+    return problem.gx(x, -v)
 
 
 def _gxaj_pos(problem, x, dx):
-    _, dg = jax.jvp(problem.ineq, (x,), (dx,))
-    return dg
+    return -problem.gx_adj(x, dx)
 
 
 def _constraint_grad_matrix(problem, x, basis, m):
@@ -166,7 +165,9 @@ def make_step(problem, option):
             theta = gx_pos(gxaj_pos(dx) * (z / s))
             return jax.tree.map(lambda a, b: a + b, lag_hvp(dx), theta)
 
-        basis = man.basis(x)
+        # Basis only exists on manifolds with a closed-form dense basis; the
+        # Krylov path (the only one FixedRankEmbedded supports) never needs it.
+        basis = man.basis(x) if (not krylov or check_nt) else None
         krylov_iters = jnp.asarray(0)
         krylov_relres = jnp.asarray(0.0, dtype=s.dtype)
         if krylov:

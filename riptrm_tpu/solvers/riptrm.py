@@ -539,7 +539,10 @@ def init_state(problem, option):
     else:
         tr0 = option["initial_TR_radius"]
     tr0 = jnp.asarray(tr0, dtype=y0.dtype)
-    dim = man.dim
+    # The materialized-Hw cache lives in the while_loop carry; only the
+    # Exact_RepMat path ever reads it, so keep it zero-sized for tCG (for a
+    # fixed-rank problem a [dim, dim] carry would dominate the state).
+    dim = man.dim if option["TRS_solver"] == "Exact_RepMat" else 0
     dt = y0.dtype
     return RiptrmState(
         x=x0,

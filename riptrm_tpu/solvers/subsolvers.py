@@ -216,9 +216,10 @@ def conjugate_gradient(
         x_new = ls.x_new
         g_new = rgrad(x_new)
         gradnorm_new = manifold.norm(x_new, g_new)
-        # transport previous grad/direction by tangent projection
-        g_old_t = manifold.proj(x_new, st.g)
-        d_t = manifold.proj(x_new, d)
+        # transport previous grad/direction (projection transport by default;
+        # structured transport on factored manifolds like fixed-rank)
+        g_old_t = manifold.transport(st.x, x_new, st.g)
+        d_t = manifold.transport(st.x, x_new, d)
         diff = jax.tree.map(lambda a, b: a - b, g_new, g_old_t)
         beta = jnp.maximum(
             manifold.inner(x_new, g_new, diff) / jnp.maximum(st.gradnorm**2, 1e-300),
