@@ -111,10 +111,34 @@ def generate_stable_identification(cfg):
             logger.warning("retrying instance generation: %s", e)
 
 
+def generate_low_rank(cfg):
+    """Nonnegative low-rank approximation on FixedRankEmbedded
+    (``problems/low_rank.py``; no reference counterpart — extension family)."""
+    from riptrm_tpu.problems import low_rank
+
+    outdir = cfg.get_path("output_path") or f"dataset/{cfg.problem_name}/{cfg.instance_name}"
+    key = jax.random.PRNGKey(_instance_seed(cfg))
+    kz, kp = jax.random.split(key)
+    m, n, k = int(cfg.m), int(cfg.n), int(cfg.rank)
+    data = low_rank.generate_instance(kz, m, n, k, float(cfg.noise))
+    _save(outdir, "dim", [[m, n, k]])
+    _save(outdir, "A", data["A"])
+    lb = float(cfg.get_path("lb", 0.0) or 0.0)
+    for i, name in enumerate(cfg.initialpoints):
+        u0, s0, v0 = low_rank.generate_initialpoint(
+            jax.random.fold_in(kp, i), m, n, k, lb=lb
+        )
+        _save(outdir, f"initU_{name}", u0)
+        _save(outdir, f"initS_{name}", s0)
+        _save(outdir, f"initV_{name}", v0)
+    _save(outdir, "initineqLagmult", np.ones(m * n))
+
+
 GENERATORS = {
     "NonnegPCA": generate_nonneg_pca,
     "Rosenbrock": generate_rosenbrock,
     "StableIdentification": generate_stable_identification,
+    "LowRank": generate_low_rank,
 }
 
 

@@ -71,6 +71,22 @@ def make_problem(A, x0, y0=None, lb: float = 0.0, dtype=None) -> EmbeddedProblem
     )
 
 
+def load_problem(dataset_path: str, initialpoint: str = "a", lb: float = 0.0, dtype=None):
+    """Load a generated instance from the CSV dataset contract
+    (``dataset/LowRank/<instance>/``): dim = [m, n, k], target A, factored
+    initial point (initU/initS/initV per point name), dual init."""
+    from riptrm_tpu.utils.io import loadtxt
+
+    dims = np.atleast_1d(loadtxt(f"{dataset_path}/dim.csv")).astype(int).ravel()
+    m, n, k = int(dims[0]), int(dims[1]), int(dims[2])
+    A = loadtxt(f"{dataset_path}/A.csv").reshape(m, n)
+    u0 = loadtxt(f"{dataset_path}/initU_{initialpoint}.csv").reshape(m, k)
+    s0 = np.atleast_1d(loadtxt(f"{dataset_path}/initS_{initialpoint}.csv")).reshape(k)
+    v0 = loadtxt(f"{dataset_path}/initV_{initialpoint}.csv").reshape(n, k)
+    y0 = np.atleast_1d(loadtxt(f"{dataset_path}/initineqLagmult.csv")).reshape(m * n)
+    return make_problem(A, (u0, s0, v0), y0, lb=lb, dtype=dtype)
+
+
 def generate_instance(key, m: int, n: int, rank: int, noise: float = 0.01):
     """Nonnegative rank-``rank`` target A = W @ H' (entrywise |N(0,1)|
     factors) plus elementwise noise — an NMF-style recovery target.  Runs on

@@ -108,6 +108,21 @@ def test_generate_and_solve_roundtrip(tmp_path, monkeypatch):
     assert (g <= 0).all()
 
 
+def test_generate_and_load_low_rank(tmp_path, monkeypatch):
+    monkeypatch.chdir("/root/repo")
+    from riptrm_tpu.experiment.generate import main
+
+    out = str(tmp_path / "ds")
+    main(["--problem", "LowRank", "m=7", "n=5", "rank=2", f"output_path={out}"])
+    from riptrm_tpu.problems import low_rank
+
+    p = low_rank.load_problem(out, "a")
+    assert p.num_ineq == 35
+    assert (np.asarray(p.slack(p.x0)) > 0).all()  # strictly feasible start
+    u, s, v = p.x0
+    assert u.shape == (7, 2) and s.shape == (2,) and v.shape == (5, 2)
+
+
 def test_block_file_roundtrip(tmp_path):
     from riptrm_tpu.experiment.simulator import load_block_file, save_output
     from riptrm_tpu.solvers.base import Output
