@@ -9,6 +9,14 @@ the reference's compute substrate (pure NumPy/autograd per SURVEY §2) —
 measured in this same run, since the reference repo publishes no numbers
 (BASELINE.md).
 
+Timing methodology (axon tunnel): ``block_until_ready`` does NOT reliably
+block on remote completion through the tunnel, and a device->host fetch
+carries a large fixed latency (~30 ms measured).  Every timed region
+therefore ends with a forced host fetch, and chain throughput is the
+MARGINAL rate between two chain lengths — (t_long - t_short) /
+(K_long - K_short) — which cancels the fixed per-call overhead and reports
+true device throughput.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -20,7 +28,12 @@ import time
 import numpy as np
 
 N = 1000
-MATVEC_CHAIN = 512
+CHAIN_SHORT = 512
+# Long-chain lengths sized so the device-time delta clearly exceeds the
+# ~30 ms (+/- a few ms jitter) fixed tunnel-fetch overhead: the XLA chain
+# runs ~10 us/matvec, the VMEM-resident Pallas chain ~0.6 us/matvec.
+CHAIN_LONG_XLA = 4096
+CHAIN_LONG_PALLAS = 65536
 SOLVE_STEPS = 400
 # Remote-TPU compile latency is highly variable (seconds to minutes per new
 # program); skip the optional measurements when the deadline approaches so
@@ -73,7 +86,7 @@ def main():
     y = state0.y
     mu = state0.mu
 
-    def chain(v0):
+    def chain(v0, length):
         _, hw, _ = _barrier_ops(problem, x, y, mu)
 
         def body(v, _):
@@ -81,19 +94,35 @@ def main():
             w = w / jnp.linalg.norm(w)
             return w, ()
 
-        v, _ = jax.lax.scan(body, v0, None, length=MATVEC_CHAIN)
+        v, _ = jax.lax.scan(body, v0, None, length=length)
         return v
 
+    def timed_fetch(fn, *args, tries=5):
+        """Median-of-N wall time of fn(*args) ending in a forced host fetch
+        (medians resist the tunnel's multi-ms per-call jitter)."""
+        ts = []
+        for _ in range(tries):
+            t0 = time.perf_counter()
+            np.asarray(fn(*args))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    def marginal_rate(fn_short, fn_long, v0, k_long):
+        np.asarray(fn_short(v0)), np.asarray(fn_long(v0))  # compile both
+        t_short = timed_fetch(fn_short, v0)
+        t_long = timed_fetch(fn_long, v0)
+        # Refuse to report a rate from a delta inside the jitter floor.
+        dt = max(t_long - t_short, 2e-3)
+        return (k_long - CHAIN_SHORT) / dt
+
     v0 = jnp.asarray(problem.manifold.random_tangent(jax.random.PRNGKey(2), x), dtype)
-    chain_jit = jax.jit(chain)
-    chain_jit(v0).block_until_ready()  # compile
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        v0 = chain_jit(v0)
-    v0.block_until_ready()
-    t_matvec = (time.perf_counter() - t0) / (reps * MATVEC_CHAIN)
-    xla_matvecs_per_s = 1.0 / t_matvec
+    xla_matvecs_per_s = marginal_rate(
+        jax.jit(lambda v: chain(v, CHAIN_SHORT)),
+        jax.jit(lambda v: chain(v, CHAIN_LONG_XLA)),
+        v0,
+        CHAIN_LONG_XLA,
+    )
 
     # Pallas VMEM-resident chain (Z loaded from HBM once per chain)
     pallas_matvecs_per_s = None
@@ -105,30 +134,30 @@ def main():
 
         zs = jnp.asarray(0.5 * (data["Z"] + data["Z"].T), dtype)
         c_slack = problem.slack(x)
-        pj = jax.jit(
-            lambda v: chained_barrier_matvec(zs, x, y / c_slack, v, MATVEC_CHAIN)
+        w_bar = y / c_slack
+        pallas_matvecs_per_s = marginal_rate(
+            jax.jit(lambda v: chained_barrier_matvec(zs, x, w_bar, v, CHAIN_SHORT)),
+            jax.jit(
+                lambda v: chained_barrier_matvec(zs, x, w_bar, v, CHAIN_LONG_PALLAS)
+            ),
+            v0,
+            CHAIN_LONG_PALLAS,
         )
-        vp = pj(v0)
-        vp.block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            vp = pj(vp)
-        vp.block_until_ready()
-        pallas_matvecs_per_s = reps * MATVEC_CHAIN / (time.perf_counter() - t0)
     except Exception:
         pass  # non-TPU backend: report the XLA path only
 
     matvecs_per_s = max(xla_matvecs_per_s, pallas_matvecs_per_s or 0.0)
 
     # ---- 2. compiled full solve -----------------------------------------
+    # (timed region ends with the int() fetch of the step counter, which
+    # transitively waits on the whole while_loop)
     solve = jax.jit(solver.solve_compiled(problem, max_steps=SOLVE_STEPS))
     st, k = solve(state0)
-    jax.block_until_ready(st)  # compile+run
+    inner_steps = int(k)  # compile + sync
     t0 = time.perf_counter()
     st, k = solve(state0)
-    jax.block_until_ready(st)
-    t_solve = time.perf_counter() - t0
     inner_steps = int(k)
+    t_solve = time.perf_counter() - t0
     outer_iters = int(st.outer_iter)
     inner_per_s = inner_steps / t_solve
     outer_per_s = outer_iters / t_solve
@@ -139,13 +168,13 @@ def main():
         solver_p = RIPTRM(option | {"use_pallas_tcg": True})
         solve_p = jax.jit(solver_p.solve_compiled(problem, max_steps=SOLVE_STEPS))
         st_p, k_p = solve_p(state0)
-        jax.block_until_ready(st_p)
+        int(k_p)  # compile + sync
         t0 = time.perf_counter()
         st_p, k_p = solve_p(state0)
-        jax.block_until_ready(st_p)
+        steps_p = int(k_p)
         t_p = time.perf_counter() - t0
         pallas_solve_stats = {
-            "pallas_solve_inner_steps_per_sec": round(int(k_p) / t_p, 1),
+            "pallas_solve_inner_steps_per_sec": round(steps_p / t_p, 1),
             "pallas_solve_ms": round(t_p * 1e3, 2),
         }
 
@@ -169,18 +198,18 @@ def main():
         )
         bsolve = batched_riptrm_solve(problem_hp, option, max_steps=SOLVE_STEPS)
         states_b, kb_, res_b = bsolve(xs0, ys0)
-        jax.block_until_ready(res_b)
+        np.asarray(res_b)  # compile + sync
         t0 = time.perf_counter()
         states_b, kb_, res_b = bsolve(xs0, ys0)
-        jax.block_until_ready(res_b)
+        res_host = np.asarray(res_b)
         t_batch = time.perf_counter() - t0
         batch_stats = {
             "batch16_solves_per_sec": round(B / t_batch, 3),
             "batch16_inner_steps_per_sec": round(
                 B * int(jnp.max(kb_)) / t_batch, 1
             ),
-            "batch16_median_residual": float(jnp.median(res_b)),
-            "batch16_max_residual": float(jnp.max(res_b)),
+            "batch16_median_residual": float(np.median(res_host)),
+            "batch16_max_residual": float(np.max(res_host)),
         }
 
     # ---- 3. NumPy host baseline for the same chained matvec -------------

@@ -41,15 +41,22 @@ def _chain_kernel(corr_ref, z_ref, x_ref, w_ref, v_ref, out_ref, *, n_iters):
     """One kernel invocation runs the whole chain in VMEM.
 
     corr_ref: [1, 1] scalar 2 x'Zs x + x'y (SMEM); z_ref: [n, n] symmetrized Z;
-    x_ref: [n, 1] point; w_ref: [n, 1] barrier weights y/c;
-    v_ref: [n, 1] start vector.
+    x_ref: [1, n] point; w_ref: [1, n] barrier weights y/c;
+    v_ref: [1, n] start vector.
+
+    ROW layout throughout: an n-vector stored [n, 1] occupies one lane of
+    ceil(n/8) sublane-tiles, so every elementwise op and reduction runs at
+    1/128 VPU utilization; stored [1, n] it fills ceil(n/128) full vregs and
+    reductions are cross-lane tree reduces.  Measured 4.4x end-to-end on a
+    v5e at n=1000 (BENCH.md).  The matvec stays on the MXU via the
+    symmetry of Zs: v_row @ Z == (Z v)'.
     """
     x = x_ref[:]
     w = w_ref[:]
     corr = corr_ref[0, 0]
 
     def body(_, v):
-        zv = jnp.dot(z_ref[:], v, preferred_element_type=jnp.float32)
+        zv = jnp.dot(v, z_ref[:], preferred_element_type=jnp.float32)
         pzv = zv - x * jnp.sum(x * zv)
         bar = w * v
         pbar = bar - x * jnp.sum(x * bar)
@@ -71,6 +78,8 @@ def _tcg_kernel(
     Mirrors ops/tcg.py::truncated_cg (itself the reference's vendored
     pymanopt tCG, RIPTRM.py:41-216) for the sphere-quadratic structure.
     stats_ref (SMEM [2,1]): [iterations, stop_code] out.
+    All vectors in ROW [1, n] layout (see ``_chain_kernel``); the matvec
+    uses v_row @ Z == (Z v)' by the symmetry of Zs.
     """
     x = x_ref[:]
     w = w_ref[:]
@@ -81,7 +90,7 @@ def _tcg_kernel(
     grad = g_ref[:]
 
     def hw(v):
-        zv = jnp.dot(z_ref[:], v, preferred_element_type=jnp.float32)
+        zv = jnp.dot(v, z_ref[:], preferred_element_type=jnp.float32)
         pzv = zv - x * jnp.sum(x * zv)
         bar = w * v
         pbar = bar - x * jnp.sum(x * bar)
@@ -184,12 +193,12 @@ def pallas_tcg_sphere_quadratic(zs, x, y_over_c, grad, radius, *, maxinner,
             linear_flag,
         ]
     ).reshape(4, 1)
-    col = lambda a: a.reshape(n, 1).astype(jnp.float32)
+    row = lambda a: a.reshape(1, n).astype(jnp.float32)
     eta, heta, stats = pl.pallas_call(
         functools.partial(_tcg_kernel, maxinner=maxinner, mininner=mininner),
         out_shape=(
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
             jax.ShapeDtypeStruct((2, 1), jnp.int32),
         ),
         in_specs=[
@@ -204,7 +213,7 @@ def pallas_tcg_sphere_quadratic(zs, x, y_over_c, grad, radius, *, maxinner,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 1), memory_space=pltpu.SMEM),
         ),
-    )(scal, zs.astype(jnp.float32), col(x), col(y_over_c), col(grad))
+    )(scal, zs.astype(jnp.float32), row(x), row(y_over_c), row(grad))
     return eta.reshape(n), heta.reshape(n), stats[0, 0], stats[1, 0]
 
 
@@ -215,10 +224,10 @@ def chained_barrier_matvec(zs, x, y_over_c, v0, n_iters: int):
     corr = (2.0 * (x @ (zs @ x)) + jnp.sum(y_over_c * x * x)).reshape(1, 1).astype(
         jnp.float32
     )
-    col = lambda a: a.reshape(n, 1).astype(jnp.float32)
+    row = lambda a: a.reshape(1, n).astype(jnp.float32)
     out = pl.pallas_call(
         functools.partial(_chain_kernel, n_iters=n_iters),
-        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
         in_specs=[
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -227,5 +236,5 @@ def chained_barrier_matvec(zs, x, y_over_c, v0, n_iters: int):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-    )(corr, zs.astype(jnp.float32), col(x), col(y_over_c), col(v0))
+    )(corr, zs.astype(jnp.float32), row(x), row(y_over_c), row(v0))
     return out.reshape(n)

@@ -17,6 +17,7 @@ TPU-first replacements:
 from __future__ import annotations
 
 import jax
+import jax.flatten_util  # explicit: not loaded by `import jax` alone
 import jax.numpy as jnp
 
 from riptrm_tpu.ops.basis import materialize_symmetrized

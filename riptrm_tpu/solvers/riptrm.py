@@ -103,6 +103,13 @@ def default_option():
         "min_barrier_parameter": 1e-15,
         "TRS_solver": "Exact_RepMat",  # or 'tCG'
         "second_order_stationarity": True,
+        # tCG mode checks the second-order criterion matrix-free: Lanczos
+        # Ritz extremes of Hw (this many HVPs), run only when the
+        # first-order inner criteria already hold.  (The reference ties the
+        # second-order check to the dense Exact_RepMat path; the matrix-free
+        # form also serves manifolds with no closed-form basis, e.g.
+        # FixedRankEmbedded.)
+        "second_order_lanczos_iters": 64,
         "TRS_tolhardcase": 1e-8,
         "tCG_theta": 1.0,
         "tCG_kappa": 0.1,
@@ -322,6 +329,40 @@ def make_step(problem, option):
         if exact and second_order:
             h_mat_new, c_vec_new = materialize_at(x_new, y_new, mu)
             mineig = jnp.linalg.eigvalsh(h_mat_new)[0]
+            crit_eig = mineig >= -ff_second(mu)
+        elif second_order:
+            # Matrix-free second-order criterion for tCG mode: Lanczos Ritz
+            # minimum of Hw at the trial point.  Gated behind the
+            # first-order criteria (lax.cond) so the extra HVPs only run on
+            # steps where they could flip the converged flag.  Ritz minima
+            # approach lambda_min from above, so this is an iterative
+            # certificate of the same character as the reference's
+            # ARPACK-``eigs`` spectra (``utils.py:417-475``).
+            from riptrm_tpu.ops.spectrum import lanczos
+
+            h_mat_new, c_vec_new = h_mat, c_vec
+            first_ok = xfeas & yfeas & crit_lag & crit_compl
+            k_lan = min(option["second_order_lanczos_iters"], dim)
+
+            def _ritz_min():
+                _, hw_new, cx_new = _barrier_ops(problem, x_new, y_new, mu)
+                # Deterministic start: barrier gradient plus the transported
+                # step direction (no RNG in the solver path).
+                v0 = jax.tree.map(
+                    lambda a, b: a + 0.5 * b,
+                    cx_new,
+                    man.transport(x, x_new, dx),
+                )
+                _, _, ritz = lanczos(
+                    hw_new, v0, lambda u, t: man.inner(x_new, u, t), k_lan
+                )
+                return ritz[0].astype(normdx.dtype)
+
+            mineig = jax.lax.cond(
+                first_ok,
+                _ritz_min,
+                lambda: jnp.asarray(jnp.inf, dtype=normdx.dtype),
+            )
             crit_eig = mineig >= -ff_second(mu)
         else:
             h_mat_new, c_vec_new = h_mat, c_vec

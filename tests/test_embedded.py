@@ -119,6 +119,19 @@ class TestLowRankSolves:
         assert X.min() > -1e-9
         assert float(out.log["manviolation"][-1]) < 1e-9
 
+    def test_riptrm_tcg_second_order(self, prob):
+        """Second-order certificates on a manifold with NO dense tangent
+        basis: the Lanczos matrix-free criterion is the only option here."""
+        out = RIPTRM(
+            OPT | {"tolresid": 1e-6, "TRS_solver": "tCG", "second_order_stationarity": True}
+        ).run(prob)
+        assert out.log["residual"][-1] <= 1e-6
+        mineigs = [
+            v for v in out.log["mineigvalHw"]
+            if v is not None and np.isfinite(v)
+        ]
+        assert mineigs and mineigs[-1] > -1e-6
+
     def test_ripm_krylov(self, prob):
         out = RIPM(OPT | {"tolresid": 1e-6, "KrylovIterMethod": True}).run(prob)
         assert out.log["residual"][-1] <= 1e-6

@@ -48,6 +48,22 @@ class TestRIPTRM:
         mineigs = [v for v in out.log["mineigvalHw"] if v is not None]
         assert mineigs[-1] > -1e-6
 
+    def test_tcg_second_order_lanczos(self, pca):
+        """Matrix-free second-order certificate: tCG mode + Lanczos Ritz
+        minimum of Hw (no dense basis materialization)."""
+        out = RIPTRM(
+            OPT_COMMON
+            | {"tolresid": 1e-6, "TRS_solver": "tCG", "second_order_stationarity": True}
+        ).run(pca)
+        assert _final_residual(out) <= 1e-6
+        mineigs = [
+            v for v in out.log["mineigvalHw"]
+            if v is not None and np.isfinite(v)
+        ]
+        assert mineigs, "no inner step ever evaluated the Lanczos certificate"
+        assert mineigs[-1] > -1e-6
+        assert out.log["cost"][-1] == pytest.approx(-1.537809, abs=1e-4)
+
     def test_compiled_matches_host(self, pca):
         opt = {"maxiter": 40, "tolresid": 1e-9, "TRS_solver": "tCG", "second_order_stationarity": False}
         solver = RIPTRM(OPT_COMMON | opt)
