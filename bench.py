@@ -148,6 +148,21 @@ def main():
 
     matvecs_per_s = max(xla_matvecs_per_s, pallas_matvecs_per_s or 0.0)
 
+    # Fixed cost of a device->host round trip (measured, subtracted from
+    # one-shot solve timings below; chain metrics use marginal rates
+    # instead, which cancel it automatically).
+    tiny = jax.device_put(jnp.zeros((8,), dtype))
+    fetch_ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(tiny * 1.0)
+        fetch_ts.append(time.perf_counter() - t0)
+    fetch_ts.sort()
+    fetch_overhead = fetch_ts[len(fetch_ts) // 2]
+
+    def corrected(t):
+        return max(t - fetch_overhead, 1e-6)
+
     # ---- 2. compiled full solve -----------------------------------------
     # (timed region ends with the int() fetch of the step counter, which
     # transitively waits on the whole while_loop)
@@ -157,7 +172,7 @@ def main():
     t0 = time.perf_counter()
     st, k = solve(state0)
     inner_steps = int(k)
-    t_solve = time.perf_counter() - t0
+    t_solve = corrected(time.perf_counter() - t0)
     outer_iters = int(st.outer_iter)
     inner_per_s = inner_steps / t_solve
     outer_per_s = outer_iters / t_solve
@@ -172,7 +187,7 @@ def main():
         t0 = time.perf_counter()
         st_p, k_p = solve_p(state0)
         steps_p = int(k_p)
-        t_p = time.perf_counter() - t0
+        t_p = corrected(time.perf_counter() - t0)
         pallas_solve_stats = {
             "pallas_solve_inner_steps_per_sec": round(steps_p / t_p, 1),
             "pallas_solve_ms": round(t_p * 1e3, 2),
@@ -202,7 +217,7 @@ def main():
         t0 = time.perf_counter()
         states_b, kb_, res_b = bsolve(xs0, ys0)
         res_host = np.asarray(res_b)
-        t_batch = time.perf_counter() - t0
+        t_batch = corrected(time.perf_counter() - t0)
         batch_stats = {
             "batch16_solves_per_sec": round(B / t_batch, 3),
             "batch16_inner_steps_per_sec": round(
@@ -255,6 +270,7 @@ def main():
             "outer_iters": outer_iters,
             **pallas_solve_stats,
             **batch_stats,
+            "fetch_overhead_ms": round(fetch_overhead * 1e3, 2),
             "final_kkt_residual": float(
                 __import__("riptrm_tpu.ops.kkt", fromlist=["compute_residual"]).compute_residual(
                     problem, st.x, st.y, jnp.zeros((0,))

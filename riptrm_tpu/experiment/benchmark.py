@@ -40,10 +40,13 @@ def main(argv=None):
     solvers = None
     scale = 1.0
     summary_path = "result/benchmark_summary.json"
+    force_cpu = True
     extra = []
     it = iter(argv)
     for a in it:
-        if a == "--budget":
+        if a == "--no-force-cpu":
+            force_cpu = False
+        elif a == "--budget":
             budget = float(next(it))
         elif a == "--problems":
             problems = next(it).split(",")
@@ -55,6 +58,14 @@ def main(argv=None):
             summary_path = next(it)
         else:
             extra.append(a)
+
+    if force_cpu:
+        # The protocol is a CPU/x64 parity harness: reference tolerances
+        # (1e-16) need f64, and the RIPM NT-check's host callback is
+        # unsupported on the axon TPU backend.  Opt out with --no-force-cpu.
+        from riptrm_tpu.config import setup
+
+        setup(cpu=True)
 
     budget_eff = budget * scale
     summary = {}

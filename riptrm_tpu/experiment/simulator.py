@@ -132,11 +132,14 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="[%(asctime)s][%(name)s] %(message)s")
     multirun = False
     config_path = None
+    force_cpu = True
     overrides = []
     it = iter(argv)
     for a in it:
         if a in ("-m", "--multirun"):
             multirun = True
+        elif a == "--no-force-cpu":
+            force_cpu = False
         elif a == "--config":
             config_path = next(it)
         elif a == "--problem":
@@ -145,6 +148,14 @@ def main(argv=None):
             overrides.append(a)
     if config_path is None:
         raise SystemExit("usage: simulate (--config PATH | --problem NAME) [-m] [key=value ...]")
+    if force_cpu:
+        # Reference-protocol runs are a CPU/x64 parity harness (f64
+        # tolerances; RIPM's NT-check host callback is unsupported on the
+        # axon TPU backend).  Opt out with --no-force-cpu; TPU throughput
+        # runs use the compiled/batched entry points instead.
+        from riptrm_tpu.config import setup
+
+        setup(cpu=True)
     if multirun:
         for cfg in sweep_configs(config_path, overrides):
             Simulator(cfg).run()

@@ -217,6 +217,130 @@ def pallas_tcg_sphere_quadratic(zs, x, y_over_c, grad, radius, *, maxinner,
     return eta.reshape(n), heta.reshape(n), stats[0, 0], stats[1, 0]
 
 
+def _chain_hbm_kernel(
+    corr_ref, z_hbm, x_ref, w_ref, v0_ref, out_ref, *, n_iters, block
+):
+    """Large-n chain with Z resident in HBM: stream row-blocks of Z through
+    a two-slot VMEM pipeline (manual double buffering; DMA of block b+1
+    overlaps the [1,block]x[block,n] partial product of block b).  The block
+    schedule is identical every iteration, so the pipeline also spans the
+    iteration boundary.  Row layout as in ``_chain_kernel``."""
+    n = x_ref.shape[1]
+    num_blocks = n // block
+    x = x_ref[:]
+    w = w_ref[:]
+    corr = corr_ref[0, 0]
+
+    def scoped(v_cur, zv_ref, scratch, sem):
+        total = n_iters * num_blocks
+
+        def dma(slot, chunk):
+            b = jax.lax.rem(chunk, num_blocks)
+            return pltpu.make_async_copy(
+                z_hbm.at[pl.ds(b * block, block), :],
+                scratch.at[slot],
+                sem.at[slot],
+            )
+
+        dma(0, 0).start()
+        v_cur[:] = v0_ref[:]
+        zv_ref[:] = jnp.zeros_like(zv_ref[:])
+
+        def body(chunk, _):
+            slot = jax.lax.rem(chunk, 2)
+            nslot = jax.lax.rem(chunk + 1, 2)
+
+            @pl.when(chunk + 1 < total)
+            def _():
+                dma(nslot, chunk + 1).start()
+
+            dma(slot, chunk).wait()
+            b = jax.lax.rem(chunk, num_blocks)
+            vb = v_cur[:, pl.ds(b * block, block)]  # [1, block]
+            zv_ref[:] += jnp.dot(
+                vb, scratch[slot], preferred_element_type=jnp.float32
+            )
+
+            @pl.when(b == num_blocks - 1)
+            def _():
+                zv = zv_ref[:]
+                v = v_cur[:]
+                pzv = zv - x * jnp.sum(x * zv)
+                bar = w * v
+                pbar = bar - x * jnp.sum(x * bar)
+                hv = -2.0 * pzv + corr * v + pbar
+                v_cur[:] = hv / jnp.sqrt(jnp.sum(hv * hv))
+                zv_ref[:] = jnp.zeros_like(zv)
+
+            return _
+
+        jax.lax.fori_loop(0, total, body, None)
+        out_ref[:] = v_cur[:]
+
+    pl.run_scoped(
+        scoped,
+        v_cur=pltpu.VMEM((1, n), jnp.float32),
+        zv_ref=pltpu.VMEM((1, n), jnp.float32),
+        scratch=pltpu.VMEM((2, block, n), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def pick_hbm_block(n: int, budget_bytes: int = 10 * 1024 * 1024) -> int:
+    """Largest lane-aligned (x128) row-block that divides the 128-padded n
+    and keeps the two streaming buffers within ``budget_bytes``.  Mosaic
+    requires dynamic lane offsets provably 128-aligned, hence the x128."""
+    npad = -(-n // 128) * 128
+    best = 0
+    for b in range(128, npad + 1, 128):
+        if npad % b == 0 and 2 * b * npad * 4 <= budget_bytes:
+            best = b
+    if best == 0:
+        raise ValueError(f"no 128-aligned divisor block for n={n} fits VMEM")
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "block"))
+def chained_barrier_matvec_hbm(zs, x, y_over_c, v0, n_iters: int, block: int):
+    """K normalized Hw matvecs with Z streamed from HBM (n too large for
+    the VMEM-resident ``chained_barrier_matvec``).
+
+    Measured on a v5e (BENCH.md): this manual two-slot pipeline reaches
+    703 GB/s at n=4000 but the plain XLA ``lax.scan`` chain reaches
+    735 GB/s (~90% of HBM peak) — XLA's automatic pipelining already wins
+    in the streaming regime, so the solver does NOT route through this
+    kernel; it is kept as a verified reference for manual-DMA patterns.
+
+    n is zero-padded to a multiple of 128: padded coordinates of x/w/v are
+    zero, so the padded entries of every iterate stay exactly zero (the
+    projection and barrier terms scale by x/w entries) and the chain is
+    bitwise-equivalent on the live coordinates.
+    """
+    n = zs.shape[0]
+    npad = -(-n // 128) * 128
+    if npad % block:
+        raise ValueError(f"block={block} must divide padded n={npad}")
+    corr = (2.0 * (x @ (zs @ x)) + jnp.sum(y_over_c * x * x)).reshape(1, 1).astype(
+        jnp.float32
+    )
+    pad = npad - n
+    zp = jnp.pad(zs.astype(jnp.float32), ((0, pad), (0, pad)))
+    row = lambda a: jnp.pad(a.reshape(1, n).astype(jnp.float32), ((0, 0), (0, pad)))
+    out = pl.pallas_call(
+        functools.partial(_chain_hbm_kernel, n_iters=n_iters, block=block),
+        out_shape=jax.ShapeDtypeStruct((1, npad), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # Z stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(corr, zp, row(x), row(y_over_c), row(v0))
+    return out[0, :n]
+
+
 @functools.partial(jax.jit, static_argnames=("n_iters",))
 def chained_barrier_matvec(zs, x, y_over_c, v0, n_iters: int):
     """K normalized Hw matvecs with everything VMEM-resident."""

@@ -51,6 +51,29 @@ def _interp():
     return pltpu.force_tpu_interpret_mode()
 
 
+def test_chained_matvec_hbm_interpret(setup):
+    """HBM-streaming (double-buffered) chain matches the VMEM chain."""
+    from riptrm_tpu.ops import pallas_kernels as pk
+
+    problem, st = setup
+    x, y, mu = st.x, st.y, st.mu
+    c, hw, _ = _barrier_ops(problem, x, y, mu)
+    zs = problem.structure["Zs"]
+    n = zs.shape[0]
+    v0 = jnp.asarray(
+        problem.manifold.random_tangent(jax.random.PRNGKey(1), x), jnp.float32
+    )
+    block = pk.pick_hbm_block(n)
+    assert block % 128 == 0
+    with _interp():
+        out = pk.chained_barrier_matvec_hbm(zs, x, y / c, v0, 3, block=block)
+    v = v0
+    for _ in range(3):
+        w = hw(v)
+        v = w / jnp.linalg.norm(w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(v), atol=2e-4)
+
+
 def test_fused_tcg_interpret(setup):
     from riptrm_tpu.ops import pallas_kernels as pk
 
