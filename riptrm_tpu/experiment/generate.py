@@ -134,11 +134,33 @@ def generate_low_rank(cfg):
     _save(outdir, "initineqLagmult", np.ones(m * n))
 
 
+def generate_bounded_pca(cfg):
+    """Bounded-coordinate PCA on Stiefel (``problems/bounded_pca.py``;
+    extension family, no reference counterpart)."""
+    from riptrm_tpu.problems import bounded_pca
+
+    outdir = cfg.get_path("output_path") or f"dataset/{cfg.problem_name}/{cfg.instance_name}"
+    key = jax.random.PRNGKey(_instance_seed(cfg))
+    kz, kp = jax.random.split(key)
+    n, p = int(cfg.dim), int(cfg.p)
+    data = bounded_pca.generate_instance(kz, n, float(cfg.snr), float(cfg.delta))
+    bound = float(cfg.get_path("bound", 0.8) or 0.8)
+    _save(outdir, "dim", [[n, p]])
+    _save(outdir, "Z", data["Z"])
+    for i, name in enumerate(cfg.initialpoints):
+        x0 = bounded_pca.generate_initialpoint(
+            jax.random.fold_in(kp, i), n, p, bound=bound
+        )
+        _save(outdir, f"initx_{name}", x0)
+    _save(outdir, "initineqLagmult", np.ones(2 * n * p))
+
+
 GENERATORS = {
     "NonnegPCA": generate_nonneg_pca,
     "Rosenbrock": generate_rosenbrock,
     "StableIdentification": generate_stable_identification,
     "LowRank": generate_low_rank,
+    "BoundedPCA": generate_bounded_pca,
 }
 
 

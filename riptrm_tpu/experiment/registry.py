@@ -8,7 +8,7 @@ by the same config names (``solver_name: ["RIPTRM", ...]``,
 
 from __future__ import annotations
 
-from riptrm_tpu.problems import low_rank, nonneg_pca, rosenbrock
+from riptrm_tpu.problems import bounded_pca, low_rank, nonneg_pca, rosenbrock
 from riptrm_tpu.problems import stable_identification as si
 from riptrm_tpu.solvers.ralm import RALM
 from riptrm_tpu.solvers.ripm import RIPM
@@ -39,6 +39,12 @@ def build_problem(cfg):
             x_set=tuple(cfg.Xset),
             is_x_noisy=bool(cfg.is_X_noisy),
             h=float(cfg.h),
+        )
+    if name == "BoundedPCA":
+        return bounded_pca.load_problem(
+            dataset_path,
+            str(cfg.problem_initialpoint),
+            bound=float(cfg.get_path("bound", 0.8) or 0.8),
         )
     if name == "LowRank":
         return low_rank.load_problem(

@@ -1,0 +1,98 @@
+"""Bounded-coordinate PCA on the Stiefel manifold.
+
+    max tr(X' Z X)  on  St(n, p)   s.t.  |X_ij| <= bound  elementwise
+
+The p = 1, one-sided case is the reference's NonnegPCA
+(``/root/reference/src/NonnegPCA/coordinator.py``); for p >= 2 a
+*nonnegativity* constraint is degenerate for interior-point methods
+(orthonormal nonnegative columns must have disjoint supports, so the
+strictly feasible set is empty), hence the two-sided coordinate bound —
+the classic "delocalized" PCA variant with a nonempty interior and
+genuinely active constraints at optima whenever the leading eigenvectors
+are localized.  Stiefel is a north-star primitive (BASELINE.json); there
+is no reference counterpart to mirror.
+
+St(n, p) has a closed-form tangent basis (``manifolds/stiefel.py``), so
+ALL solver paths run: RIPTRM tCG and Exact_RepMat (incl. dense
+second-order certificates), RIPM both modes, RSQO, RALM.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from riptrm_tpu.manifolds.stiefel import Stiefel
+from riptrm_tpu.problems.problem import Problem
+
+
+def make_problem(Z, x0, y0=None, bound: float = 0.8, dtype=None) -> Problem:
+    Z = jnp.asarray(Z, dtype=dtype)
+    Zs = 0.5 * (Z + Z.T)
+    x0 = jnp.asarray(x0, dtype=dtype)
+    n, p = x0.shape
+    man = Stiefel(n, p)
+    dt = x0.dtype
+    m = 2 * n * p
+    if y0 is None:
+        y0 = jnp.ones((m,), dtype=dt)
+    else:
+        y0 = jnp.asarray(y0, dtype=dt)
+    b = jnp.asarray(bound, dtype=dt)
+
+    def cost(x):
+        return -jnp.sum(x * (Zs @ x))
+
+    def ineq(x):
+        # feasible: x <= b and -x <= b, stacked [2 n p]
+        return jnp.concatenate([(x - b).ravel(), (-x - b).ravel()])
+
+    def manvio(x):
+        return jnp.linalg.norm(x.T @ x - jnp.eye(p, dtype=x.dtype))
+
+    return Problem(
+        manifold=man,
+        cost=cost,
+        ineq=ineq,
+        x0=x0,
+        y0=y0,
+        z0=jnp.zeros((0,), dtype=dt),
+        num_ineq=m,
+        num_eq=0,
+        manvio=manvio,
+    )
+
+
+def load_problem(dataset_path: str, initialpoint: str = "a", bound: float = 0.8, dtype=None):
+    from riptrm_tpu.utils.io import loadtxt
+
+    dims = np.atleast_1d(loadtxt(f"{dataset_path}/dim.csv")).astype(int).ravel()
+    n, p = int(dims[0]), int(dims[1])
+    Z = loadtxt(f"{dataset_path}/Z.csv").reshape(n, n)
+    x0 = loadtxt(f"{dataset_path}/initx_{initialpoint}.csv").reshape(n, p)
+    y0 = np.atleast_1d(loadtxt(f"{dataset_path}/initineqLagmult.csv")).reshape(2 * n * p)
+    return make_problem(Z, x0, y0, bound=bound, dtype=dtype)
+
+
+def generate_instance(key, dim: int, snr: float = 0.5, delta: float = 0.7):
+    """Spiked-covariance Z, same construction as NonnegPCA
+    (``/root/reference/src/NonnegPCA/generator.py:9-31``)."""
+    from riptrm_tpu.problems.nonneg_pca import generate_instance as gen
+
+    return gen(key, dim, snr, delta)
+
+
+def generate_initialpoint(key, n: int, p: int, bound: float = 0.8, margin: float = 0.05):
+    """Strictly feasible orthonormal start: QR of a Gaussian matrix,
+    redrawn until every |entry| clears the bound by ``margin`` (entries of
+    a random orthonormal frame concentrate at O(sqrt(log(np)/n)), so for
+    reasonable (n, p, bound) the first draw almost always passes)."""
+    cpu = jax.devices("cpu")[0]
+    key = jax.device_put(key, cpu)
+    with jax.default_device(cpu):
+        while True:
+            key, sub = jax.random.split(key)
+            q, _ = jnp.linalg.qr(jax.random.normal(sub, (n, p)))
+            if float(jnp.max(jnp.abs(q))) <= bound - margin:
+                return np.asarray(q)
