@@ -90,6 +90,33 @@ class TestBoundedPCA:
         assert abs(costs[0] - costs[1]) < 1e-5
 
 
+def test_batched_multistart_sweep(prob):
+    """Multi-start sweep on a matrix manifold as ONE vmapped compiled solve
+    (the sweep axis vmaps over stacked [B, n, p] points)."""
+    from riptrm_tpu.parallel.sweep import batched_riptrm_solve
+
+    B = 4
+    xs0 = jnp.stack(
+        [
+            jnp.asarray(
+                bounded_pca.generate_initialpoint(jax.random.PRNGKey(20 + i), N, P, bound=BOUND)
+            )
+            for i in range(B)
+        ]
+    )
+    ys0 = jnp.ones((B, 2 * N * P), dtype=xs0.dtype)
+    opt = {"maxiter": 40, "tolresid": 1e-7, "TRS_solver": "tCG",
+           "second_order_stationarity": False, "verbosity": 0}
+    solve = batched_riptrm_solve(prob, opt, max_steps=800)
+    states, ks, res = solve(xs0, ys0)
+    assert np.asarray(res).shape == (B,)
+    assert np.max(np.asarray(res)) <= 1e-7
+    # every lane on-manifold
+    xs = np.asarray(states.x)
+    for i in range(B):
+        assert np.abs(xs[i].T @ xs[i] - np.eye(P)).max() < 1e-8
+
+
 def test_generate_and_load_roundtrip(tmp_path, monkeypatch):
     monkeypatch.chdir("/root/repo")
     from riptrm_tpu.experiment.generate import main

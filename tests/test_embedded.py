@@ -136,6 +136,24 @@ class TestLowRankSolves:
         out = RIPM(OPT | {"tolresid": 1e-6, "KrylovIterMethod": True}).run(prob)
         assert out.log["residual"][-1] <= 1e-6
 
+    def test_batched_multistart_sweep(self, prob):
+        """vmapped multi-start solves with factored (U, S, V) pytree points."""
+        from riptrm_tpu.parallel.sweep import batched_riptrm_solve
+
+        B = 3
+        starts = [
+            low_rank.generate_initialpoint(jax.random.PRNGKey(30 + i), M, N, K)
+            for i in range(B)
+        ]
+        xs0 = jax.tree.map(lambda *leaves: jnp.stack(leaves),
+                           *[tuple(map(jnp.asarray, s)) for s in starts])
+        ys0 = jnp.ones((B, M * N))
+        opt = {"maxiter": 40, "tolresid": 1e-6, "TRS_solver": "tCG",
+               "second_order_stationarity": False, "verbosity": 0}
+        solve = batched_riptrm_solve(prob, opt, max_steps=1500)
+        states, ks, res = solve(xs0, ys0)
+        assert np.max(np.asarray(res)) <= 1e-6
+
     def test_ralm(self, prob):
         out = RALM(OPT | {"maxiter": 20, "tolresid": 1e-4}).run(prob)
         assert min(out.log["residual"]) < 1e-2
