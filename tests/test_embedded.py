@@ -110,9 +110,12 @@ OPT = {"maxtime": 120, "maxiter": 40, "verbosity": 0}
 class TestLowRankSolves:
     def test_riptrm_tcg(self, prob):
         out = RIPTRM(
-            OPT | {"tolresid": 1e-7, "TRS_solver": "tCG", "second_order_stationarity": False}
+            OPT | {"tolresid": 1e-10, "TRS_solver": "tCG", "second_order_stationarity": False}
         ).run(prob)
-        assert out.log["residual"][-1] <= 1e-7
+        assert out.log["residual"][-1] <= 1e-10
+        # the retraction's re-orthonormalization keeps the factored
+        # representation consistent over long solves (manvio would
+        # otherwise floor the residual at ~1e-5)
         # solution stays rank-k factored, feasible, with consistent factors
         u, s, v = out.x
         X = np.asarray((u * s) @ v.T)
