@@ -125,8 +125,14 @@ def host_run(
                 break
             raise
         run_time = 0.0 if iteration == 0 else clock.elapsed()
+        # Log accumulation is host bookkeeping, not solve time: exclude it
+        # from the wall-clock budget (the reference's ``excluded_time``,
+        # ``base_solver.py:58-93``).  On 1e5-row runs the device->host
+        # conversions here are a material fraction of the budget.
+        t_log = time.time()
         log.add(iteration, run_time, ev, status_row(state, info))
         maybe_wandb_log(option, {k: float(v) for k, v in ev.items()} | {"time": run_time})
+        clock.excluded += time.time() - t_log
 
         residual = float(ev["residual"])
         x_prev = get_x(state)

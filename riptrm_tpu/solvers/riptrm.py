@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import copy
 import os
+import time
 from typing import NamedTuple
 
 import jax
@@ -699,9 +700,14 @@ class RIPTRM:
             # save_inner_iteration=False logs only at outer transitions
             # (reference outer loop add_log, RIPTRM.py:936-941)
             if option["save_inner_iteration"] or bool(info["exit_inner"]):
+                # Excluded from the budget like the reference's
+                # ``excluded_time`` (base_solver.py:58-93): on 1e5-row runs
+                # the per-field device->host conversions are material.
+                t_log = time.time()
                 row = self._format_info(info)
                 log.add(row_iter, row_time, row)
                 maybe_wandb_log(option, row | {"time": row_time})
+                clock.excluded += time.time() - t_log
 
             if ckpt_path and row_time - last_ckpt >= option["checkpoint_every"]:
                 from riptrm_tpu.experiment.checkpoint import save_state
