@@ -533,6 +533,7 @@ def make_step(problem, option):
             maxabsLagmult=jnp.max(jnp.abs(y_next)) if problem.has_ineq else jnp.asarray(0.0),
             converged=converged,
             exit_inner=exit_inner,
+            outer_iter=outer_iter,
         )
         info.update(trs_check)
         return new_state, info
@@ -681,7 +682,10 @@ class RIPTRM:
         while stop_reason is None:
             try:
                 state, info = step(state)
-                info = jax.tree.map(lambda a: a, info)  # leave on device
+                # ONE device->host transfer for stop logic + logging; the
+                # previous per-field conversions were ~27 separate fetches
+                # per row, which dominated long protocol runs.
+                info = jax.device_get(info)
                 converged = bool(info["converged"])
                 residual = float(info["residual"])
             except Exception as e:  # do_exit_on_error (RIPTRM.py:961-966)
@@ -690,7 +694,7 @@ class RIPTRM:
                     break
                 raise
 
-            outer_iter = int(state.outer_iter)
+            outer_iter = int(info["outer_iter"])
             # The reference logs inner rows under the *current* outer
             # iteration number (1-based); outer_iter counts completed outer
             # iterations, so the row belongs to outer_iter when this step
@@ -786,7 +790,7 @@ class RIPTRM:
         """Map jnp status codes to the reference's string log values."""
         out = {}
         for k, v in info.items():
-            if k in ("converged", "exit_inner"):
+            if k in ("converged", "exit_inner", "outer_iter"):
                 continue
             out[k] = v
         status = int(info["inner_status"])
