@@ -159,22 +159,30 @@ def batched_solver_sweep(problem, solver_name: str, option, max_steps: int):
     return jax.jit(jax.vmap(one))
 
 
-def instance_batched_riptrm(option, max_steps: int):
+def instance_batched_riptrm(option, max_steps: int, problem_builder=None):
     """Batch over problem *instances* x initial points simultaneously
     (BASELINE.json config 4: "NonnegPCA large-n batched: vmapped instances
     x multi-start initial points on one host").
 
     The problem is constructed inside the vmapped function, so the instance
-    data (Z) is a traced, batched argument — instances and starts fuse into
-    one MXU-batched compiled solve.
+    data is a traced, batched argument — instances and starts fuse into one
+    MXU-batched compiled solve.
 
-    Returns a jitted fn (Zs [B,n,n], xs0 [B,n], ys0 [B,n]) ->
+    ``problem_builder(instance_data, x0) -> Problem`` defaults to NonnegPCA
+    (instance_data = Z); any family works as long as its data and points
+    stack along a leading batch axis (e.g. ``low_rank.make_problem`` with
+    instance_data = A and x0 a stacked (U, S, V) pytree).
+
+    Returns a jitted fn (data [B, ...], xs0 [B, ...], ys0 [B, m]) ->
     (x_final, y_final, steps, residuals).
     """
-    from riptrm_tpu.problems import nonneg_pca
+    if problem_builder is None:
+        from riptrm_tpu.problems import nonneg_pca
 
-    def one(z, x0, y0):
-        problem = nonneg_pca.make_problem(z, x0)
+        problem_builder = nonneg_pca.make_problem
+
+    def one(data, x0, y0):
+        problem = problem_builder(data, x0)
         solver = RIPTRM(option)
         solve = solver.solve_compiled(problem, max_steps)
         st, k = solve(init_state_from(problem, solver.option, x0, y0))

@@ -157,6 +157,31 @@ class TestLowRankSolves:
         states, ks, res = solve(xs0, ys0)
         assert np.max(np.asarray(res)) <= 1e-6
 
+    def test_instance_batched_sweep(self):
+        """Instances x starts fused into one compiled solve for a custom
+        problem family (builder hook on instance_batched_riptrm)."""
+        from riptrm_tpu.parallel.sweep import instance_batched_riptrm
+
+        B = 2
+        keys = [jax.random.PRNGKey(40 + i) for i in range(B)]
+        insts = [low_rank.generate_instance(k, M, N, rank=K, noise=0.05) for k in keys]
+        data = jnp.stack([jnp.asarray(i["A"]) for i in insts])
+        starts = [
+            low_rank.generate_initialpoint(jax.random.PRNGKey(50 + i), M, N, K)
+            for i in range(B)
+        ]
+        xs0 = jax.tree.map(lambda *l: jnp.stack(l),
+                           *[tuple(map(jnp.asarray, s)) for s in starts])
+        ys0 = jnp.ones((B, M * N))
+        opt = {"maxiter": 40, "tolresid": 1e-6, "TRS_solver": "tCG",
+               "second_order_stationarity": False, "verbosity": 0}
+        solve = instance_batched_riptrm(
+            opt, max_steps=1500,
+            problem_builder=lambda a, x0: low_rank.make_problem(a, x0),
+        )
+        xf, yf, ks, res = solve(data, xs0, ys0)
+        assert np.max(np.asarray(res)) <= 1e-6
+
     def test_ralm(self, prob):
         out = RALM(OPT | {"maxiter": 20, "tolresid": 1e-4}).run(prob)
         assert min(out.log["residual"]) < 1e-2
