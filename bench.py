@@ -229,12 +229,13 @@ def main():
     ys0 = jnp.ones((B, N), dtype=dtype)
     # Batched lanes run their matvecs through the MXU, whose default
     # bf16-pass precision has a noise floor far above scalar f32 and stalls
-    # the inner loop at tight tolerances (BENCH.md precision notes);
-    # full-f32 matmuls let every lane reach the same tolerance as the
-    # single solve.
+    # the inner loop at tight tolerances (BENCH.md precision notes).
+    # 'high' (3-pass bf16) reaches the same residual floor as 'highest'
+    # (6-pass) at 1.39x the throughput (measured: 703 vs 506 solves/s;
+    # 'default' stalls at 0.0386).
     if _time_left(150.0):
         problem_hp = nonneg_pca.make_problem(
-            data["Z"], x0, dtype=dtype, matmul_precision="highest"
+            data["Z"], x0, dtype=dtype, matmul_precision="high"
         )
         bsolve = batched_riptrm_solve(problem_hp, option, max_steps=SOLVE_STEPS)
 
