@@ -72,12 +72,21 @@ def covector(manifold, x, basis, v):
     return manifold.to_coords(x, basis, v)
 
 
-def rows_to_matrix(manifold, x, basis, vectors_fn, m):
-    """Matrix G with G[i, :] = coords of the i-th of m tangent vectors.
+def constraint_grad_rows(manifold, x, basis, fn, m, dtype=None):
+    """Rows of Riemannian constraint gradients in basis coordinates.
 
-    ``vectors_fn(i)`` -> tangent pytree.  Used for constraint-gradient
-    matrices (RSQO / second-order-residual callback).
+    G[i, :] = coords of rgrad fn_i at x, for a stacked constraint function
+    ``fn: M -> R^m``, via ONE vjp (linearized once, pulled back along the m
+    coordinate covectors with a single vmap).  Shared by RSQO's linearized
+    constraint matrices, RIPM's equality-gradient matrix, and the
+    Rosenbrock second-order-residual callback (reference: per-constraint
+    gradient loops, ``utils.py:93-203`` / ``RSQO.py:160-191``).
     """
-    return jax.vmap(lambda i: manifold.to_coords(x, basis, vectors_fn(i)))(
-        jnp.arange(m)
-    )
+    _, pullback = jax.vjp(fn, x)
+
+    def row(e):
+        (eg,) = pullback(e)
+        return manifold.to_coords(x, basis, manifold.egrad2rgrad(x, eg))
+
+    eye = jnp.eye(m) if dtype is None else jnp.eye(m, dtype=dtype)
+    return jax.vmap(row)(eye)

@@ -110,7 +110,7 @@ def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
     def body(st):
         x, s, z, y = st.x, st.s, st.z, st.y
         rd, rp, re = residuals(x, s, z, y)
-        mu = jnp.vdot(s, z) / m
+        mu = jnp.vdot(s, z) / max(m, 1)  # m == 0: equality-only QP, mu := 0
 
         # affine (predictor) step
         rc_aff = z * s
@@ -118,7 +118,7 @@ def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
         alpha_p = max_step(s, ds_a)
         alpha_d = max_step(z, dz_a)
         alpha_a = jnp.minimum(alpha_p, alpha_d)
-        mu_aff = jnp.vdot(s + alpha_a * ds_a, z + alpha_a * dz_a) / m
+        mu_aff = jnp.vdot(s + alpha_a * ds_a, z + alpha_a * dz_a) / max(m, 1)
         sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-300)) ** 3, 0.0, 1.0)
 
         # corrector step

@@ -57,32 +57,77 @@ def lanczos(matvec, v0, inner, num_iters: int):
     ``v0``: start vector (pytree); ``inner(u, w)``: metric inner product.
     Returns (alphas [k], betas [k-1], ritz_values [k]) — extreme Ritz
     values approximate the operator's extreme eigenvalues.
+
+    The recurrence runs in the *metric* geometry: ``inner`` is bilinear, so
+    the metric apply M w = grad_u <u, w> is exact via one AD pass, and all
+    dots/orthogonalizations use q_i' M q_j.  On flat-metric manifolds
+    (sphere/Stiefel/Grassmann/Euclidean/skew) M is the identity and this
+    reduces to classical Lanczos; on SPD's affine-invariant metric the flat
+    recurrence would tridiagonalize a non-symmetric operator and its Ritz
+    values would certify nothing.
+
+    Krylov breakdown (the start vector spans an invariant subspace of
+    dimension d < num_iters) is masked: steps after breakdown contribute
+    ``alphas[0]`` diagonal entries with zero coupling, a Rayleigh quotient
+    of the restricted operator, so the extreme Ritz values are unaffected
+    (padding with zero rows would inject spurious zero eigenvalues).
     """
     flat0, unravel = jax.flatten_util.ravel_pytree(v0)
     n = flat0.shape[0]
-    q0 = flat0 / jnp.linalg.norm(flat0)
+    dt = flat0.dtype
+    eps = jnp.finfo(dt).eps
+
+    def m_flat(w_flat):
+        w = unravel(w_flat)
+        mw = jax.grad(lambda u: inner(u, w))(w)
+        return jax.flatten_util.ravel_pytree(mw)[0]
 
     def mv_flat(q):
         out = matvec(unravel(q))
         return jax.flatten_util.ravel_pytree(out)[0]
 
-    def body(carry, i):
-        Q, q_prev, q, beta_prev = carry
-        w = mv_flat(q)
-        alpha = jnp.vdot(q, w)
-        w = w - alpha * q - beta_prev * q_prev
-        # full reorthogonalization against the stored basis
-        w = w - Q.T @ (Q @ w)
-        beta = jnp.linalg.norm(w)
-        q_next = w / jnp.where(beta > 0, beta, 1.0)
-        Q = Q.at[i].set(q)
-        return (Q, q, q_next, beta), (alpha, beta)
+    m0 = m_flat(flat0)
+    nrm0 = jnp.sqrt(jnp.maximum(jnp.vdot(flat0, m0), jnp.finfo(dt).tiny))
+    q0 = flat0 / nrm0
+    mq0 = m0 / nrm0
 
-    Q0 = jnp.zeros((num_iters, n), dtype=q0.dtype)
-    (_, _, _, _), (alphas, betas) = jax.lax.scan(
-        body, (Q0, jnp.zeros_like(q0), q0, jnp.asarray(0.0, q0.dtype)),
+    def body(carry, i):
+        Q, MQ, q_prev, mq_prev, q, mq, beta_prev, alive = carry
+        w = mv_flat(q)
+        mw = m_flat(w)
+        alpha = jnp.vdot(mq, w)  # <q, Aq>_M
+        r = w - alpha * q - beta_prev * q_prev
+        mr = mw - alpha * mq - beta_prev * mq_prev
+        # full reorthogonalization against the stored basis (M-metric):
+        # c_j = <q_j, r>_M = (M q_j)' r
+        coeff = MQ @ r
+        r = r - Q.T @ coeff
+        mr = mr - MQ.T @ coeff
+        beta = jnp.sqrt(jnp.maximum(jnp.vdot(r, mr), 0.0))
+        wnorm = jnp.sqrt(jnp.maximum(jnp.vdot(w, mw), 0.0))
+        alive_next = alive & (beta > 100.0 * eps * jnp.maximum(wnorm, 1.0))
+        safe_beta = jnp.where(beta > 0, beta, 1.0)
+        q_next = r / safe_beta
+        mq_next = mr / safe_beta
+        Q = Q.at[i].set(q)
+        MQ = MQ.at[i].set(mq)
+        return (Q, MQ, q, mq, q_next, mq_next, beta, alive_next), (
+            alpha,
+            beta,
+            alive,
+        )
+
+    Q0 = jnp.zeros((num_iters, n), dtype=dt)
+    zero = jnp.zeros_like(q0)
+    _, (alphas, betas, alive) = jax.lax.scan(
+        body,
+        (Q0, Q0, zero, zero, q0, mq0, jnp.asarray(0.0, dt), jnp.asarray(True)),
         jnp.arange(num_iters),
     )
-    t = jnp.diag(alphas) + jnp.diag(betas[:-1], 1) + jnp.diag(betas[:-1], -1)
+    # Mask the post-breakdown block: alphas[0] (always valid) on the
+    # diagonal, decoupled from the live block.
+    alphas_v = jnp.where(alive, alphas, alphas[0])
+    betas_v = jnp.where(alive[1:], betas[:-1], 0.0)
+    t = jnp.diag(alphas_v) + jnp.diag(betas_v, 1) + jnp.diag(betas_v, -1)
     ritz = jnp.linalg.eigvalsh(t)
-    return alphas, betas[:-1], ritz
+    return alphas_v, betas_v, ritz

@@ -44,10 +44,12 @@ def solve_trs(A, a, radius, *, newton_iters=60):
         return jnp.sum((b / d) ** 2)
 
     # Hard case detection: at the left end of the interval the step is still
-    # shorter than the radius (the secular equation has no root).
+    # shorter than the radius (the secular equation has no root).  When A is
+    # positive definite but the interior step is infeasible, w2(sig_lb+) =
+    # ||p_int||^2 > radius^2, so this single predicate also excludes that
+    # branch.
     tiny = eps * scale * 16.0
-    hard = jnp.logical_and(~pos_def | (w2(sig_lb + tiny) < radius**2), ~interior_ok)
-    hard = jnp.logical_and(hard, w2(sig_lb + tiny) < radius**2)
+    hard = jnp.logical_and(~interior_ok, w2(sig_lb + tiny) < radius**2)
 
     # ---- safeguarded Newton on phi(sig) = 1/||p(sig)|| - 1/radius
     sig0 = sig_lb + jnp.linalg.norm(b) / radius + tiny

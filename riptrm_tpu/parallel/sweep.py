@@ -25,6 +25,29 @@ from riptrm_tpu.ops.kkt import compute_residual
 from riptrm_tpu.solvers.riptrm import RIPTRM, RiptrmState, init_state
 
 
+def _warn_vmapped_lanczos(option: dict):
+    """Under vmap, ``lax.cond`` lowers to ``select``: both branches execute.
+    The tCG-mode second-order Lanczos certificate (gated behind the
+    first-order criteria in single-lane solves) therefore runs its
+    ``second_order_lanczos_iters`` HVPs on EVERY step of EVERY lane in a
+    batched sweep.  Warn so callers can disable it (and certify the final
+    points post-hoc with ``ops.spectrum.lanczos`` instead, one vmapped call)."""
+    if option.get("TRS_solver") == "tCG" and option.get(
+        "second_order_stationarity", True
+    ):
+        import warnings
+
+        warnings.warn(
+            "Batched sweep with TRS_solver='tCG' and second_order_stationarity=True: "
+            "under vmap the Lanczos second-order check executes unconditionally on "
+            "every inner step of every lane (lax.cond lowers to select), costing "
+            "second_order_lanczos_iters extra HVPs per step. Consider "
+            "second_order_stationarity=False plus a post-hoc certificate at the "
+            "final points.",
+            stacklevel=3,
+        )
+
+
 def make_mesh(axis_sizes: dict, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     names = tuple(axis_sizes)
@@ -49,6 +72,7 @@ def batched_riptrm_solve(problem, option, max_steps: int):
     the slowest — the masked-batching tradeoff called out in SURVEY §7).
     """
     solver = RIPTRM(option)
+    _warn_vmapped_lanczos(solver.option)
     solve = solver.solve_compiled(problem, max_steps)
 
     def one(x0, y0):
@@ -67,6 +91,7 @@ def sharded_riptrm_solve(problem, option, max_steps: int, mesh: Mesh, axis: str 
     can act on global convergence stats.
     """
     solver = RIPTRM(option)
+    _warn_vmapped_lanczos(solver.option)
     solve = solver.solve_compiled(problem, max_steps)
 
     def one(x0, y0):
@@ -106,6 +131,7 @@ def batched_solver_sweep(problem, solver_name: str, option, max_steps: int):
 
     if solver_name == "RIPTRM":
         solver = RIPTRM(option)
+        _warn_vmapped_lanczos(solver.option)
         solve = solver.solve_compiled(problem, max_steps)
 
         def one(x0, y0):
@@ -180,6 +206,8 @@ def instance_batched_riptrm(option, max_steps: int, problem_builder=None):
         from riptrm_tpu.problems import nonneg_pca
 
         problem_builder = nonneg_pca.make_problem
+
+    _warn_vmapped_lanczos(RIPTRM(option).option)
 
     def one(data, x0, y0):
         problem = problem_builder(data, x0)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from riptrm_tpu.manifolds import Grassmann
-from riptrm_tpu.ops.basis import materialize_symmetrized
+from riptrm_tpu.ops.basis import constraint_grad_rows, materialize_symmetrized
 from riptrm_tpu.problems.problem import Problem
 
 
@@ -36,12 +36,7 @@ def second_order_residual(problem, x, y, z, *, active_tol=1e-5, linindtol=1e-12)
     active = jnp.abs(g) < active_tol  # [m]
 
     # Coordinate rows of the Riemannian constraint gradients (one vmapped vjp)
-    def grad_row(e):
-        _, pullback = jax.vjp(problem.ineq, x)
-        (eg,) = pullback(e)
-        return man.to_coords(x, basis, man.egrad2rgrad(x, eg))
-
-    g_rows = jax.vmap(grad_row)(jnp.eye(m, dtype=g.dtype))  # [m, dim]
+    g_rows = constraint_grad_rows(man, x, basis, problem.ineq, m, dtype=g.dtype)
     ga = jnp.where(active[:, None], g_rows, 0.0)
 
     # Projector onto span(active gradients) via SVD with rank tolerance

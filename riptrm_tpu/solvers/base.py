@@ -66,8 +66,16 @@ class LogAccumulator:
         for d in dicts:
             for k, v in d.items():
                 row[k] = self._to_python(v)
+        # Keep every column the same length: backfill keys first seen now
+        # (e.g. checkTRSoptimality's TRS_* fields missing from the
+        # iteration-0 row) and pad keys absent from this row — otherwise
+        # pd.DataFrame(log) raises at save time and the run's log is lost.
+        n_prev = len(self.log["iteration"]) if "iteration" in self.log else 0
         for k, v in row.items():
-            self.log.setdefault(k, []).append(v)
+            self.log.setdefault(k, [None] * n_prev).append(v)
+        for k, col in self.log.items():
+            if len(col) == n_prev:
+                col.append(None)
 
     def as_dict(self):
         return self.log

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from riptrm_tpu.ops.basis import materialize_symmetrized
+from riptrm_tpu.ops.basis import constraint_grad_rows, materialize_symmetrized
 from riptrm_tpu.ops.conjres import conjugate_residual
 from riptrm_tpu.ops.kkt import evaluation
 from riptrm_tpu.solvers.base import (
@@ -113,15 +113,7 @@ def _constraint_grad_matrix(problem, x, basis, m):
 
 
 def _eq_grad_matrix(problem, x, basis, l):
-    man = problem.manifold
-    eye = jnp.eye(l)
-
-    def row(e):
-        _, pullback = jax.vjp(problem.eq, x)
-        (eg,) = pullback(e)
-        return man.to_coords(x, basis, man.egrad2rgrad(x, eg))
-
-    return jax.vmap(row)(eye)
+    return constraint_grad_rows(problem.manifold, x, basis, problem.eq, l)
 
 
 def make_step(problem, option):

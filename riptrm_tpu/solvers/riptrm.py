@@ -111,7 +111,6 @@ def default_option():
         # form also serves manifolds with no closed-form basis, e.g.
         # FixedRankEmbedded.)
         "second_order_lanczos_iters": 64,
-        "TRS_tolhardcase": 1e-8,
         "tCG_theta": 1.0,
         "tCG_kappa": 0.1,
         "tCG_mininner": 1,
@@ -145,6 +144,11 @@ def default_option():
         "is_euclidean_embedded": False,
         "basisfun": None,
         "TRS_tolresid": 1e-12,
+        # TRS_tolhardcase tunes the reference TRSgep's eigenvector-block norm
+        # threshold (RIPTRM.py:441,262); the Moré-Sorensen solver here
+        # (ops/trs.py) detects the hard case from the secular equation with
+        # dtype-eps-scaled thresholds and has no comparable knob.
+        "TRS_tolhardcase": 1e-8,
     }
 
 
@@ -629,6 +633,15 @@ class RIPTRM:
             .lower(state)
             .compile()
         )
+        # Also AOT-compiled here: a lazy jit would compile on the first
+        # inner-budget reset *inside* the timed loop, charging (potentially
+        # large, see CLAUDE.md remote-compile latency) compile seconds
+        # against maxtime.
+        force_outer = (
+            jax.jit(make_force_outer(option)).lower(state).compile()
+            if option["inner_maxtime"] is not None
+            else None
+        )
 
         # Resume from a checkpoint (state + elapsed budget + log so far)
         ckpt_path = option.get("checkpoint_path")
@@ -645,11 +658,6 @@ class RIPTRM:
         clock = WallClock(option["maxtime"], initial_elapsed)
         last_ckpt = clock.elapsed()
         inner_start = clock.elapsed()
-        force_outer = (
-            jax.jit(make_force_outer(option))
-            if option["inner_maxtime"] is not None
-            else None
-        )
 
         eval0 = eval_fn(state)
         # iteration-0 row (outer loop first evaluation, RIPTRM.py:931-944)

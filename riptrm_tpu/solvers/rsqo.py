@@ -22,7 +22,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from riptrm_tpu.ops.basis import materialize_symmetrized
+from riptrm_tpu.ops.basis import constraint_grad_rows, materialize_symmetrized
 from riptrm_tpu.ops.kkt import evaluation
 from riptrm_tpu.ops.qp import solve_qp
 from riptrm_tpu.solvers.base import (
@@ -127,23 +127,13 @@ def make_step(problem, option):
 
         # --- linearized constraints (one vmapped vjp per family) --------
         if m > 0:
-            def g_row(e):
-                _, pullback = jax.vjp(problem.ineq, x)
-                (eg,) = pullback(e)
-                return man.to_coords(x, basis, man.egrad2rgrad(x, eg))
-
-            g_mat = jax.vmap(g_row)(jnp.eye(m, dtype=y.dtype))
+            g_mat = constraint_grad_rows(man, x, basis, problem.ineq, m, dtype=y.dtype)
             h_vec = -problem.ineq(x)
         else:
             g_mat = jnp.zeros((0, dim), dtype=y.dtype)
             h_vec = jnp.zeros((0,), dtype=y.dtype)
         if l > 0:
-            def a_row(e):
-                _, pullback = jax.vjp(problem.eq, x)
-                (eg,) = pullback(e)
-                return man.to_coords(x, basis, man.egrad2rgrad(x, eg))
-
-            a_mat = jax.vmap(a_row)(jnp.eye(l, dtype=y.dtype))
+            a_mat = constraint_grad_rows(man, x, basis, problem.eq, l, dtype=y.dtype)
             b_vec = -problem.eq(x)
         else:
             a_mat = jnp.zeros((0, dim), dtype=y.dtype)

@@ -130,3 +130,27 @@ def test_all_solvers_agree_on_optimum(pca):
         out = solver.run(pca)
         costs.append(out.log["cost"][-1])
     assert max(costs) - min(costs) < 1e-5
+
+
+def test_check_trs_optimality_log_saves(pca, tmp_path):
+    """checkTRSoptimality adds TRS_* keys only from iteration 1 on; the log
+    must still save as a rectangular CSV (regression: LogAccumulator
+    produced ragged columns and pd.DataFrame raised at save time)."""
+    import pandas as pd
+
+    out = RIPTRM(
+        OPT_COMMON
+        | {
+            "tolresid": 1e-6,
+            "maxiter": 5,
+            "TRS_solver": "Exact_RepMat",
+            "second_order_stationarity": False,
+            "checkTRSoptimality": True,
+        }
+    ).run(pca)
+    lengths = {k: len(v) for k, v in out.log.items()}
+    assert len(set(lengths.values())) == 1, lengths
+    df = pd.DataFrame(out.log)  # what simulator.save_output does
+    assert "TRS_mineig" in df.columns
+    assert df["TRS_mineig"].iloc[0] is None or np.isnan(df["TRS_mineig"].iloc[0])
+    assert np.isfinite(df["TRS_mineig"].iloc[-1])

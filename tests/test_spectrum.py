@@ -49,3 +49,48 @@ def test_lanczos_extreme_eigenvalues():
     _, _, ritz = lanczos(mv, v0, inner, 40)
     assert abs(float(ritz[0]) - dense[0]) < 1e-8
     assert abs(float(ritz[-1]) - dense[-1]) < 1e-8
+
+
+def test_lanczos_nonflat_metric():
+    """Lanczos must run in the manifold metric: on SPD (affine-invariant
+    metric) the flat-Euclidean recurrence tridiagonalizes a non-symmetric
+    operator and its Ritz extremes certify nothing (regression: `inner` was
+    accepted but ignored)."""
+    from riptrm_tpu.manifolds import SymmetricPositiveDefinite
+
+    man = SymmetricPositiveDefinite(4)
+    x = man.random_point(jax.random.PRNGKey(3))
+    a = np.random.default_rng(5).normal(size=(10, 10))
+    a = jnp.asarray(0.5 * (a + a.T))  # symmetric coefficient matrix in coords
+
+    basis = man.basis(x)
+
+    def op(v):
+        # self-adjoint w.r.t. the affine-invariant metric by construction:
+        # A applied in metric-orthonormal coordinates
+        return man.from_coords(x, basis, a @ man.to_coords(x, basis, v))
+
+    dense = np.sort(np.linalg.eigvalsh(np.asarray(a)))
+    v0 = man.random_tangent(jax.random.PRNGKey(4), x)
+    _, _, ritz = lanczos(op, v0, lambda u, t: man.inner(x, u, t), 10)
+    assert abs(float(ritz[0]) - dense[0]) < 1e-7
+    assert abs(float(ritz[-1]) - dense[-1]) < 1e-7
+
+
+def test_lanczos_breakdown_no_spurious_zeros():
+    """Krylov breakdown (v0 spans a 2-dim invariant subspace) must not pad
+    the tridiagonal with zero rows: a positive-definite operator would then
+    report lambda_min = 0 (regression)."""
+    from riptrm_tpu.manifolds import Euclidean
+
+    man = Euclidean(6)
+    x = jnp.zeros((6,))
+    d = jnp.asarray([3.0, 5.0, 7.0, 9.0, 11.0, 13.0])
+    op = lambda v: d * v
+    v0 = jnp.zeros((6,)).at[0].set(1.0).at[1].set(1.0)  # Krylov dim = 2
+    _, _, ritz = lanczos(op, v0, lambda u, t: jnp.vdot(u, t), 6)
+    # extreme Ritz values = exact eigenvalues on the invariant subspace
+    assert abs(float(ritz[0]) - 3.0) < 1e-9
+    assert abs(float(ritz[-1]) - 5.0) < 1e-9
+    # no spurious zero (or otherwise out-of-range) eigenvalues
+    assert float(ritz[0]) > 2.9

@@ -89,3 +89,25 @@ def test_benchmark_summary_format(tmp_path, monkeypatch):
     with open(f"{tmp_path}/summary.json") as f:
         summary = json.load(f)
     assert any(k.startswith("NonnegPCA/1/a/RIPTRM") for k in summary)
+
+
+def test_qp_equality_only():
+    """m = 0 (no inequality rows): mu = <s,z>/m must not divide by zero and
+    NaN-poison the solve (regression); result must match the closed-form
+    equality-constrained KKT solution."""
+    rng = np.random.default_rng(11)
+    n, l = 5, 2
+    Q = rng.normal(size=(n, n))
+    Q = jnp.asarray(Q @ Q.T + n * np.eye(n))
+    p = jnp.asarray(rng.normal(size=(n,)))
+    A = jnp.asarray(rng.normal(size=(l, n)))
+    b = jnp.asarray(rng.normal(size=(l,)))
+    G = jnp.zeros((0, n))
+    h = jnp.zeros((0,))
+    sol = solve_qp(Q, p, G, h, A, b)
+    x = np.asarray(sol.x)
+    assert np.isfinite(x).all()
+    # KKT: [Q A'; A 0] [x; y] = [-p; b]
+    K = np.block([[np.asarray(Q), np.asarray(A).T], [np.asarray(A), np.zeros((l, l))]])
+    ref = np.linalg.solve(K, np.concatenate([-np.asarray(p), np.asarray(b)]))
+    assert np.allclose(x, ref[:n], atol=1e-7)
