@@ -237,9 +237,9 @@ def main():
         problem_hp = nonneg_pca.make_problem(
             data["Z"], x0, dtype=dtype, matmul_precision="high"
         )
-        bsolve = batched_riptrm_solve(problem_hp, option, max_steps=SOLVE_STEPS)
+        B_SHORT, B_LONG = 1, 9
 
-        def make_repeat_batch(reps):
+        def make_repeat_batch(bsolve, reps):
             def run(eps):
                 def body(carry, _):
                     coupler, total = carry
@@ -254,24 +254,45 @@ def main():
                 return total, ress[-1]
             return jax.jit(run)
 
-        B_SHORT, B_LONG = 1, 9
-        fb_short = make_repeat_batch(B_SHORT)
-        fb_long = make_repeat_batch(B_LONG)
-        fb_short(zero)
-        _, res_b = fb_long(zero)  # compile both
-        res_host = np.asarray(res_b)
-        t_bs = timed_fetch(lambda e: fb_short(e)[0], zero, tries=7)
-        t_bl = timed_fetch(lambda e: fb_long(e)[0], zero, tries=7)
-        t_batch = max(t_bl - t_bs, 2e-3) / (B_LONG - B_SHORT)
-        _, kb_, _ = bsolve(xs0, ys0)
+        def measure_batch(bsolve):
+            fb_short = make_repeat_batch(bsolve, B_SHORT)
+            fb_long = make_repeat_batch(bsolve, B_LONG)
+            fb_short(zero)
+            _, res_b = fb_long(zero)  # compile both
+            res_host = np.asarray(res_b)
+            t_bs = timed_fetch(lambda e: fb_short(e)[0], zero, tries=7)
+            t_bl = timed_fetch(lambda e: fb_long(e)[0], zero, tries=7)
+            t_batch = max(t_bl - t_bs, 2e-3) / (B_LONG - B_SHORT)
+            _, kb_, _ = bsolve(xs0, ys0)
+            return t_batch, int(jnp.max(kb_)), res_host
+
+        t_batch, k_batch, res_host = measure_batch(
+            batched_riptrm_solve(problem_hp, option, max_steps=SOLVE_STEPS)
+        )
         batch_stats = {
             "batch16_solves_per_sec": round(B / t_batch, 3),
-            "batch16_inner_steps_per_sec": round(
-                B * int(jnp.max(kb_)) / t_batch, 1
-            ),
+            "batch16_inner_steps_per_sec": round(B * k_batch / t_batch, 1),
             "batch16_median_residual": float(np.median(res_host)),
             "batch16_max_residual": float(np.max(res_host)),
         }
+        # Batched fused Pallas tCG: custom_vmap routes each lane's tCG into
+        # ONE shared-Z VMEM-resident kernel (measured 2.4x the XLA-'high'
+        # batched path at the same residual floor).
+        if pallas_matvecs_per_s and _time_left(120.0):
+            try:
+                t_p, k_p, res_p = measure_batch(
+                    batched_riptrm_solve(
+                        problem_hp,
+                        option | {"use_pallas_tcg": True},
+                        max_steps=SOLVE_STEPS,
+                    )
+                )
+                batch_stats.update(
+                    batch16_pallas_solves_per_sec=round(B / t_p, 3),
+                    batch16_pallas_median_residual=float(np.median(res_p)),
+                )
+            except Exception as e:
+                batch_stats["batch16_pallas_error"] = f"{type(e).__name__}: {e}"[:200]
 
     # ---- 3. NumPy host baseline for the same chained matvec -------------
     z_np = np.asarray(data["Z"], dtype=np.float64)

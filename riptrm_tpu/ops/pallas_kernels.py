@@ -37,6 +37,12 @@ def fits_in_vmem(n: int, dtype_bytes: int = 4) -> bool:
     return n * n * dtype_bytes + 8 * n * dtype_bytes <= VMEM_BUDGET_BYTES
 
 
+def fits_in_vmem_batched(n: int, b: int, dtype_bytes: int = 4) -> bool:
+    """Z plus ~32 [b, n] arrays (inputs + outputs + loop carries, incl. the
+    lane-broadcast per-lane scalars) for the batched tCG kernel."""
+    return n * n * dtype_bytes + 32 * b * n * dtype_bytes <= VMEM_BUDGET_BYTES
+
+
 def _chain_kernel(corr_ref, z_ref, x_ref, w_ref, v_ref, out_ref, *, n_iters):
     """One kernel invocation runs the whole chain in VMEM.
 
@@ -215,6 +221,240 @@ def pallas_tcg_sphere_quadratic(zs, x, y_over_c, grad, radius, *, maxinner,
         ),
     )(scal, zs.astype(jnp.float32), row(x), row(y_over_c), row(grad))
     return eta.reshape(n), heta.reshape(n), stats[0, 0], stats[1, 0]
+
+
+def _tcg_kernel_batched(
+    corr_ref, radius_ref, target_ref, flag_ref, z_ref, x_ref, w_ref, g_ref,
+    eta_ref, heta_ref, stats_ref,
+    *, maxinner, mininner,
+):
+    """Batched Steihaug-Toint tCG: B lanes in lockstep, one shared Z.
+
+    All state — including per-lane scalars — is [B, n] (B sublanes x full
+    lanes), the matvec is ONE [B, n] x [n, n] MXU matmul per iteration with
+    Z loaded from HBM once per kernel call and shared across all lanes (the
+    vmapped-XLA path re-reads Z from HBM every batched matvec).
+
+    Per-lane scalars (corr/radius/target/linear_flag and all loop scalars)
+    are carried as full [B, n] arrays with the value replicated along the
+    lane axis: Mosaic's narrow [B, 1] vector layouts hit unimplemented
+    relayouts both ways (tiled->replicated on while-carries, "Lane
+    broadcast" on [B,1]x[B,n] products of loaded slices), whereas [B, n]
+    elementwise ops plus keepdims-reductions broadcast straight back to
+    [B, n] are the standard well-supported pattern.  The VMEM cost is
+    ~12 extra [B, n] arrays (fits_in_vmem_batched budget).
+
+    Lanes that hit a stop condition are frozen (same masked-lockstep
+    semantics as ``RIPTRM.solve_compiled`` under vmap); the loop exits when
+    every lane is done.  stats out: [B, 2] int32 (iterations, stop_code).
+    """
+    x = x_ref[:]  # [B, n]
+    w = w_ref[:]
+    grad = g_ref[:]
+    corr = corr_ref[:]  # [B, n], lane-constant
+    radius = radius_ref[:]
+    target = target_ref[:]
+    linear_flag = flag_ref[:]
+    # Zero seed derived FROM DATA (not a jnp.zeros splat): splat-constant
+    # while-carry inits are inferred fully-replicated, and the body's tiled
+    # updates then hit the unimplemented tiled->replicated relayout.
+    # f32 sub is not constant-folded (NaN semantics), so this stays an op.
+    zeros_bn = grad - grad
+
+    def dot(a, b):
+        # [B, n] -> [B, n]: row inner product, broadcast back across lanes
+        return jnp.sum(a * b, axis=1, keepdims=True) + zeros_bn
+
+    def hw(v):
+        # precision=HIGHEST: the [B, n] x [n, n] product hits the MXU, whose
+        # single-pass input precision is bf16 — enough noise to stall the
+        # inner loop at mu_stall*sqrt(m) (BENCH.md precision notes).  The
+        # single-lane kernel's [1, n] matvec runs full-f32 on the VPU and
+        # never sees this.
+        zv = jnp.dot(
+            v, z_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        pzv = zv - x * dot(x, zv)
+        bar = w * v
+        pbar = bar - x * dot(x, bar)
+        return -2.0 * pzv + corr * v + pbar
+
+    def proj(v):
+        return v - x * dot(x, v)
+
+    r0 = grad
+    z_r0 = dot(r0, r0)
+    delta0 = -r0
+    zeros1 = zeros_bn
+
+    def safe_div(a, d):
+        return a / jnp.where(d == 0, 1.0, d)
+
+    # carry: eta, Heta, r, delta, e_Pe, d_Pd, e_Pd, z_r, model,
+    #        iters, code, done (all [B, n] lane-constant), global j.
+    # Counters/codes/done are f32 — i1 vector carries fail scf.yield
+    # legalization and int carries hit narrow-int relayouts; ints are cast
+    # once at the final store.
+    init = (
+        zeros_bn, zeros_bn, r0, delta0,
+        zeros1, z_r0, zeros1, z_r0, zeros1,
+        zeros1,
+        zeros1,
+        zeros1,  # done mask: 0.0 alive / 1.0 finished
+        jnp.int32(0),
+    )
+
+    def cond(c):
+        any_alive = jnp.sum(1.0 - c[11]) > 0
+        return jnp.logical_and(any_alive, c[12] < maxinner)
+
+    def body(c):
+        (eta, heta, r, delta, e_pe, d_pd, e_pd, z_r, model,
+         iters, code, done_f, j) = c
+        done = done_f > 0.5  # f32 carry -> bool for the selects
+        hdelta = hw(delta)
+        d_hd = dot(delta, hdelta)
+        alpha = safe_div(z_r, d_hd)
+        e_pe_new = e_pe + 2.0 * alpha * e_pd + alpha**2 * d_pd
+        bail = jnp.logical_or(d_hd <= 0, e_pe_new >= radius**2)
+        disc = jnp.maximum(e_pd**2 + d_pd * (radius**2 - e_pe), 0.0)
+        tau = safe_div(-e_pd + jnp.sqrt(disc), d_pd)
+        eta_b = eta + tau * delta
+        heta_b = heta + tau * hdelta
+        eta_c = eta + alpha * delta
+        heta_c = heta + alpha * hdelta
+        model_c = dot(eta_c, grad) + 0.5 * dot(eta_c, heta_c)
+        model_inc = model_c >= model
+        r_new = r + alpha * hdelta
+        zr_new = dot(r_new, r_new)
+        norm_r = jnp.sqrt(zr_new)
+        hit = jnp.logical_and(j + 1 > mininner, norm_r <= target)
+        beta = safe_div(zr_new, z_r)
+        delta_new = proj(-r_new + beta * delta)
+        done_now = bail | model_inc | hit
+        code_new = jnp.where(
+            bail,
+            jnp.where(d_hd <= 0, 1.0, 2.0),
+            jnp.where(
+                model_inc, 3.0,
+                jnp.where(hit, jnp.where(linear_flag > 0, 4.0, 5.0), 0.0),
+            ),
+        )
+
+        pick = lambda b_, k_, a_: jnp.where(bail, b_, jnp.where(model_inc, k_, a_))
+        eta_out = pick(eta_b, eta, eta_c)
+        heta_out = pick(heta_b, heta, heta_c)
+
+        frz = lambda new, old: jnp.where(done, old, new)  # freeze finished lanes
+        return (
+            frz(eta_out, eta), frz(heta_out, heta), frz(r_new, r),
+            frz(delta_new, delta),
+            frz(jnp.where(done_now, e_pe, e_pe_new), e_pe),
+            frz(jnp.where(done_now, d_pd, zr_new + beta**2 * d_pd), d_pd),
+            frz(jnp.where(done_now, e_pd, beta * (e_pd + alpha * d_pd)), e_pd),
+            frz(jnp.where(done_now, z_r, zr_new), z_r),
+            frz(jnp.where(done_now | model_inc, model, model_c), model),
+            iters + (1.0 - done_f),
+            jnp.where(done, code, code_new),
+            jnp.maximum(done_f, jnp.where(done_now, 1.0, 0.0)),
+            j + 1,
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    eta_ref[:] = out[0]
+    heta_ref[:] = out[1]
+    stats_ref[:] = jnp.concatenate(
+        [out[9][:, 0:1], out[10][:, 0:1]], axis=1
+    ).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("maxinner", "mininner"))
+def pallas_tcg_sphere_quadratic_batched(
+    zs, xs, ws, grads, radii, *, maxinner, mininner=1, theta=1.0, kappa=0.1
+):
+    """Batched fused tCG: B lanes share one VMEM-resident Z.
+
+    Returns (etas [B, n], Hetas [B, n], iterations [B], stop_codes [B]).
+    """
+    b, n = xs.shape
+    xs32 = xs.astype(jnp.float32)
+    ws32 = ws.astype(jnp.float32)
+    gs32 = grads.astype(jnp.float32)
+    zx = xs32 @ zs.astype(jnp.float32)  # [B, n]
+    corr = 2.0 * jnp.sum(zx * xs32, axis=1) + jnp.sum(ws32 * xs32 * xs32, axis=1)
+    norm_r0 = jnp.linalg.norm(gs32, axis=1)
+    target = norm_r0 * jnp.minimum(norm_r0**theta, kappa)
+    linear_flag = (kappa < norm_r0**theta).astype(jnp.float32)
+    # Per-lane scalars enter pre-broadcast to [B, n] (see kernel docstring)
+    bn = lambda a: jnp.broadcast_to(a.astype(jnp.float32)[:, None], (b, n))
+    etas, hetas, stats = pl.pallas_call(
+        functools.partial(_tcg_kernel_batched, maxinner=maxinner, mininner=mininner),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, 2), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+    )(
+        bn(corr),
+        bn(jnp.broadcast_to(radii, (b,))),
+        bn(target),
+        bn(linear_flag),
+        zs.astype(jnp.float32),
+        xs32,
+        ws32,
+        gs32,
+    )
+    return etas, hetas, stats[:, 0], stats[:, 1]
+
+
+def tcg_sphere_quadratic(maxinner, mininner=1, theta=1.0, kappa=0.1):
+    """Fused tCG with a custom vmap rule.
+
+    Returns ``tcg(zs, x, w, grad, radius)`` behaving like
+    ``pallas_tcg_sphere_quadratic``; under ``jax.vmap`` (batched multi-start
+    sweeps, ``parallel/sweep.py``) the rule routes to the batched kernel —
+    Z stays unbatched and is loaded into VMEM once per call, shared across
+    all lanes — instead of failing or falling back to per-lane calls.
+    Falls back to a sequential ``lax.map`` of single-lane kernels when Z
+    itself carries a batch axis (per-lane instances cannot share VMEM) or
+    the batched state would overflow VMEM.
+    """
+    from jax import custom_batching
+
+    kw = dict(maxinner=maxinner, mininner=mininner, theta=theta, kappa=kappa)
+
+    @custom_batching.custom_vmap
+    def tcg(zs, x, w, grad, radius):
+        return pallas_tcg_sphere_quadratic(zs, x, w, grad, radius, **kw)
+
+    @tcg.def_vmap
+    def _rule(axis_size, in_batched, zs, x, w, grad, radius):
+        zb, xb, wb, gb, rb = in_batched
+        n = zs.shape[-1]
+
+        def bc(a, ab):
+            return a if ab else jnp.broadcast_to(a, (axis_size,) + tuple(jnp.shape(a)))
+
+        xs, ws, gs = bc(x, xb), bc(w, wb), bc(grad, gb)
+        radii = bc(jnp.asarray(radius, jnp.float32), rb)
+        if zb or not fits_in_vmem_batched(n, axis_size):
+            out = jax.lax.map(
+                lambda args: pallas_tcg_sphere_quadratic(*args, **kw),
+                (bc(zs, zb), xs, ws, gs, radii),
+            )
+        else:
+            out = pallas_tcg_sphere_quadratic_batched(zs, xs, ws, gs, radii, **kw)
+        return out, (True, True, True, True)
+
+    return tcg
 
 
 def _chain_hbm_kernel(

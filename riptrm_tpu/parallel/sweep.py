@@ -220,6 +220,40 @@ def instance_batched_riptrm(option, max_steps: int, problem_builder=None):
     return jax.jit(jax.vmap(one))
 
 
+def certify_second_order(problem, xs, ys, *, num_iters=64):
+    """Post-hoc second-order certificates for a batch of final points.
+
+    One vmapped matrix-free Lanczos per lane: returns the Ritz minimum of
+    the condensed barrier Hessian Hw at each (x, y) — an upper bound
+    converging to lambda_min, the same certificate RIPTRM's tCG mode checks
+    in-loop (``solvers/riptrm.py``; reference min-eigenvalue criterion,
+    ``RIPTRM.py:574-629``).  This is the efficient companion to
+    ``_warn_vmapped_lanczos``: run the batched sweep with
+    ``second_order_stationarity=False`` (no per-step HVP burn under vmap)
+    and certify every lane's final point here with ONE batched call.
+
+    Hw does not depend on the barrier parameter mu (mu only shifts the
+    gradient cx), so no mu argument is needed.
+    """
+    from riptrm_tpu.ops.spectrum import lanczos
+    from riptrm_tpu.solvers.riptrm import _barrier_ops
+
+    man = problem.manifold
+    k = min(num_iters, man.dim)
+
+    def one(x, y):
+        _, hw, cx = _barrier_ops(problem, x, y, jnp.zeros((), dtype=y.dtype))
+        # Deterministic start (no RNG in the solver path); the projected
+        # all-ones direction keeps v0 nonzero when the gradient vanishes
+        # (interior optimum).
+        ones_t = man.proj(x, jax.tree.map(jnp.ones_like, x))
+        v0 = jax.tree.map(lambda a, b: a + 0.1 * b, cx, ones_t)
+        _, _, ritz = lanczos(hw, v0, lambda u, t: man.inner(x, u, t), k)
+        return ritz[0]
+
+    return jax.jit(jax.vmap(one))(xs, ys)
+
+
 def run_sweep(problem, option, xs0, ys0, *, max_steps=2000, mesh=None, axis="dp"):
     """Convenience wrapper: sharded when a mesh is given, else vmapped."""
     xs0 = jnp.asarray(xs0)

@@ -209,6 +209,27 @@ def make_step(problem, option):
     ff_second = option["forcing_function_second_order"]
     inner_maxiter = option["inner_maxiter"]
 
+    # Fused Pallas tCG (TPU): gate statically and build the custom_vmap
+    # wrapper once so batched sweeps route through the shared-Z batched
+    # kernel (ops/pallas_kernels.py::tcg_sphere_quadratic).
+    use_pallas = False
+    if (
+        not exact
+        and option["use_pallas_tcg"]
+        and problem.structure is not None
+        and problem.structure.get("kind") == "sphere_quadratic"
+    ):
+        from riptrm_tpu.ops.pallas_kernels import fits_in_vmem, tcg_sphere_quadratic
+
+        use_pallas = fits_in_vmem(man.dim + 1)
+        if use_pallas:
+            pallas_tcg = tcg_sphere_quadratic(
+                maxinner=man.dim,
+                mininner=option["tCG_mininner"],
+                theta=option["tCG_theta"],
+                kappa=option["tCG_kappa"],
+            )
+
     def materialize_at(x, y, mu):
         basis = man.basis(x)
         c, hw, cx = _barrier_ops(problem, x, y, mu)
@@ -245,29 +266,11 @@ def make_step(problem, option):
             cx_dx = c_vec @ coeff
             dxtype = trs_code
         else:
-            if (
-                option["use_pallas_tcg"]
-                and problem.structure is not None
-                and problem.structure.get("kind") == "sphere_quadratic"
-            ):
-                from riptrm_tpu.ops.pallas_kernels import fits_in_vmem
-
-                use_pallas = fits_in_vmem(man.dim + 1)
-            else:
-                use_pallas = False
             if use_pallas:
-                from riptrm_tpu.ops.pallas_kernels import (
-                    pallas_tcg_sphere_quadratic,
-                )
-
                 zs = problem.structure["Zs"]
                 dt = state.y.dtype
-                dx, h_dx, tcg_iters, tcg_code = pallas_tcg_sphere_quadratic(
-                    zs, x, y / c, cx, tr_radius,
-                    maxinner=dim,
-                    mininner=option["tCG_mininner"],
-                    theta=option["tCG_theta"],
-                    kappa=option["tCG_kappa"],
+                dx, h_dx, tcg_iters, tcg_code = pallas_tcg(
+                    zs, x, y / c, cx, tr_radius
                 )
                 dx = dx.astype(dt)
                 h_dx = h_dx.astype(dt)

@@ -92,3 +92,73 @@ def test_fused_tcg_interpret(setup):
     np.testing.assert_allclose(
         np.asarray(eta_p), np.asarray(eta_x), atol=1e-4, rtol=1e-3
     )
+
+
+def test_batched_tcg_interpret(setup):
+    """Batched kernel (B lanes, shared Z) matches per-lane XLA tCG."""
+    from riptrm_tpu.ops import pallas_kernels as pk
+
+    problem, st = setup
+    man = problem.manifold
+    zs = problem.structure["Zs"]
+    n = zs.shape[0]
+    dim = man.dim
+    B = 4
+    keys = jax.random.split(jax.random.PRNGKey(5), B)
+    xs = jnp.abs(jax.random.normal(jax.random.PRNGKey(6), (B, n), dtype=jnp.float32))
+    xs = xs / jnp.linalg.norm(xs, axis=1, keepdims=True)
+    ys = 0.5 + jnp.abs(jax.random.normal(jax.random.PRNGKey(7), (B, n), dtype=jnp.float32))
+    radii = jnp.asarray([0.1, 0.3, 0.5, 0.2], jnp.float32)
+
+    etas_ref, iters_ref, codes_ref = [], [], []
+    grads = []
+    for i in range(B):
+        x, y = xs[i], ys[i]
+        c, hw, cx = _barrier_ops(problem, x, y, jnp.float32(0.05))
+        grads.append(cx)
+        eta, _, it, code = truncated_cg(man, x, hw, cx, radii[i], maxinner=dim)
+        etas_ref.append(eta)
+        iters_ref.append(int(it))
+        codes_ref.append(int(code))
+    grads = jnp.stack(grads)
+    cs = xs  # slack = x for NonnegPCA
+    with _interp():
+        etas, _, iters, codes = pk.pallas_tcg_sphere_quadratic_batched(
+            zs, xs, ys / cs, grads, radii, maxinner=dim
+        )
+    assert [int(v) for v in iters] == iters_ref
+    assert [int(v) for v in codes] == codes_ref
+    np.testing.assert_allclose(
+        np.asarray(etas), np.asarray(jnp.stack(etas_ref)), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_tcg_custom_vmap_routes_to_batched(setup):
+    """vmap of the wrapped single-lane tCG must produce the same results as
+    the explicit batched kernel (the custom_vmap rule)."""
+    from riptrm_tpu.ops import pallas_kernels as pk
+
+    problem, st = setup
+    zs = problem.structure["Zs"]
+    n = zs.shape[0]
+    dim = problem.manifold.dim
+    B = 3
+    xs = jnp.abs(jax.random.normal(jax.random.PRNGKey(8), (B, n), dtype=jnp.float32))
+    xs = xs / jnp.linalg.norm(xs, axis=1, keepdims=True)
+    ws = 0.5 + jnp.abs(jax.random.normal(jax.random.PRNGKey(9), (B, n), dtype=jnp.float32))
+    grads = jax.random.normal(jax.random.PRNGKey(10), (B, n), dtype=jnp.float32)
+    grads = grads - xs * jnp.sum(xs * grads, axis=1, keepdims=True)
+    radius = jnp.float32(0.25)  # shared (unbatched) radius
+
+    tcg = pk.tcg_sphere_quadratic(maxinner=dim)
+    with _interp():
+        ev, hv, it_v, code_v = jax.vmap(
+            lambda x, w, g: tcg(zs, x, w, g, radius)
+        )(xs, ws, grads)
+        eb, hb, it_b, code_b = pk.pallas_tcg_sphere_quadratic_batched(
+            zs, xs, ws, grads, jnp.broadcast_to(radius, (B,)), maxinner=dim
+        )
+    np.testing.assert_allclose(np.asarray(ev), np.asarray(eb), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hv), np.asarray(hb), atol=1e-5)
+    assert (np.asarray(it_v) == np.asarray(it_b)).all()
+    assert (np.asarray(code_v) == np.asarray(code_b)).all()

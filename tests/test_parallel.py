@@ -91,3 +91,35 @@ def test_sharded_materialization():
     sharded = materialize_sharded(man, x, basis, op, mesh, axis="tp")
     sharded = 0.5 * (sharded + sharded.T)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense), atol=1e-10)
+
+
+def test_certify_second_order_batch(setup):
+    """Sweep with the in-loop certificate OFF, then certify all final
+    points post-hoc with one batched Lanczos call (the efficient pattern
+    _warn_vmapped_lanczos points at)."""
+    from riptrm_tpu.parallel.sweep import certify_second_order
+
+    problem, xs, ys = setup
+    fn = batched_riptrm_solve(problem, OPTION, max_steps=200)
+    states, ks, res = fn(xs, ys)
+    assert float(jnp.max(res)) < 1e-3
+    mineigs = certify_second_order(problem, states.x, states.y)
+    mineigs = np.asarray(mineigs)
+    assert mineigs.shape == (xs.shape[0],)
+    # NonnegPCA maximization: converged interior-point solutions are strict
+    # local minima of the barrier problem -> Hw curvature bounded below
+    assert (mineigs > -1e-5).all()
+
+
+def test_batched_sweep_lanczos_warning(setup):
+    problem, xs, ys = setup
+    import warnings
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        batched_riptrm_solve(
+            problem,
+            OPTION | {"second_order_stationarity": True},
+            max_steps=10,
+        )
+    assert any("Lanczos second-order check" in str(w.message) for w in rec)
