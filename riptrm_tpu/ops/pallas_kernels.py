@@ -265,17 +265,26 @@ def _tcg_kernel_batched(
         # [B, n] -> [B, n]: row inner product, broadcast back across lanes
         return jnp.sum(a * b, axis=1, keepdims=True) + zeros_bn
 
+    # The [B, n] x [n, n] product hits the MXU, whose single-pass input
+    # precision is bf16 — enough noise to stall the inner loop at
+    # mu_stall*sqrt(m) (BENCH.md precision notes; the single-lane kernel's
+    # [1, n] matvec runs full-f32 on the VPU and never sees this).  Mosaic
+    # supports only DEFAULT and HIGHEST dot precision, and HIGHEST (6-pass)
+    # made the kernel matmul-bound, so do bf16x3 ("high", 3 single-pass
+    # matmuls) by hand: split operands into bf16 hi + bf16 residual and
+    # drop the lo*lo term.  Z's split is hoisted out of the tCG loop.
+    z32 = z_ref[:]
+    z_hi = z32.astype(jnp.bfloat16)
+    z_lo = (z32 - z_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def matvec3(v):
+        v_hi = v.astype(jnp.bfloat16)
+        v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+        return d(v_hi, z_hi) + d(v_hi, z_lo) + d(v_lo, z_hi)
+
     def hw(v):
-        # precision=HIGHEST: the [B, n] x [n, n] product hits the MXU, whose
-        # single-pass input precision is bf16 — enough noise to stall the
-        # inner loop at mu_stall*sqrt(m) (BENCH.md precision notes).  The
-        # single-lane kernel's [1, n] matvec runs full-f32 on the VPU and
-        # never sees this.
-        zv = jnp.dot(
-            v, z_ref[:],
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        zv = matvec3(v)
         pzv = zv - x * dot(x, zv)
         bar = w * v
         pbar = bar - x * dot(x, bar)
