@@ -293,6 +293,28 @@ def main():
                 )
             except Exception as e:
                 batch_stats["batch16_pallas_error"] = f"{type(e).__name__}: {e}"[:200]
+        # Large sweep through the GRIDDED batched kernel (B beyond the
+        # single-call VMEM cap runs sequential lane-blocks over one shared
+        # Z window — best single-chip sweep throughput, BENCH.md).
+        if pallas_matvecs_per_s and _time_left(150.0):
+            try:
+                BL = 128
+                xs0 = jnp.abs(jax.random.normal(kb, (BL, N), dtype=dtype))
+                xs0 = xs0 / jnp.linalg.norm(xs0, axis=1, keepdims=True)
+                ys0 = jnp.ones((BL, N), dtype=dtype)
+                t_p, k_p, res_p = measure_batch(
+                    batched_riptrm_solve(
+                        problem_hp,
+                        option | {"use_pallas_tcg": True},
+                        max_steps=SOLVE_STEPS,
+                    )
+                )
+                batch_stats.update(
+                    batch128_pallas_solves_per_sec=round(BL / t_p, 1),
+                    batch128_pallas_median_residual=float(np.median(res_p)),
+                )
+            except Exception as e:
+                batch_stats["batch128_pallas_error"] = f"{type(e).__name__}: {e}"[:200]
 
     # ---- 3. NumPy host baseline for the same chained matvec -------------
     z_np = np.asarray(data["Z"], dtype=np.float64)

@@ -1,0 +1,207 @@
+"""On-chip batched multi-start sweep throughput for any problem family.
+
+The reference parallelizes its experimental sweep (instances x initial
+points) as independent Hydra-multirun OS processes (``README.md:72-107``);
+here the sweep is a batch axis of ONE compiled solve (SURVEY §2.3).  This
+CLI measures that sweep's throughput on the default device (the TPU chip)
+for a freshly generated instance of any problem family at any size:
+
+    python -m riptrm_tpu.experiment.chip_sweep --problem NonnegPCA \
+        --size 1000 --batch 128
+    python -m riptrm_tpu.experiment.chip_sweep --problem StableIdentification \
+        --size 16 --batch 8
+
+Methodology (BENCH.md): data generation and the RALM feasible-interior
+start search run on the HOST CPU backend (many small programs — remote
+compile latency and the ~1.7 ms tunnel dispatch make them pathological on
+the chip); the batched solve runs on the default device; throughput is the
+marginal rate between two repetition counts, each ending in a forced host
+fetch, which cancels the ~30 ms fixed tunnel-fetch overhead.
+
+f32 notes: forcing floors are lifted to the f32-appropriate values and the
+default matmul precision is raised to 'high' (3-pass bf16) — batched lanes
+run their matvecs on the MXU, whose single-pass bf16 noise floor stalls
+the inner loop at reference-tight tolerances (BENCH.md precision notes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _cpu_device():
+    import jax
+
+    return jax.devices("cpu")[0]
+
+
+def build_sweep(problem_name: str, size: int, batch: int, seed: int = 0):
+    """Generate an instance + a stacked batch of initial points on the host.
+
+    Returns (problem, xs0, ys0) where xs0/ys0 carry a leading batch axis
+    (pytree leaves stacked), built OUTSIDE the CPU context so the problem's
+    arrays live on the default device.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(seed)
+
+    if problem_name == "NonnegPCA":
+        from riptrm_tpu.problems import nonneg_pca
+
+        k1, k2 = jax.random.split(key)
+        with jax.default_device(_cpu_device()):
+            data = nonneg_pca.generate_instance(k1, size)
+            z_np = np.asarray(data["Z"])
+        xs0 = np.abs(np.asarray(jax.random.normal(k2, (batch, size))))
+        xs0 = xs0 / np.linalg.norm(xs0, axis=1, keepdims=True)
+        problem = nonneg_pca.make_problem(
+            z_np, xs0[0], dtype=jnp.float32, matmul_precision="high"
+        )
+        return (
+            problem,
+            jnp.asarray(xs0, jnp.float32),
+            jnp.ones((batch, size), jnp.float32),
+        )
+
+    if problem_name == "StableIdentification":
+        from riptrm_tpu.problems import stable_identification as si
+
+        d = size
+        rng = np.random.default_rng(seed)
+        with jax.default_device(_cpu_device()):
+            _, _, _, true_a = si.generate_true_system(key, d)
+            constset = si.generate_constraints(
+                rng, d, true_a, oneboxratio=0.2, twoboxratio=0.1
+            )
+            trajs = [
+                si.generate_trajectory(rng, d, true_a, h=0.02, n_steps=20, snr=10)[1]
+                for _ in range(5)
+            ]
+            starts = []
+            for i in range(batch):
+                key, sub = jax.random.split(key)
+                j_m, r_m, q_m, _ = si.generate_interior_initialpoint(sub, d, constset)
+                starts.append((j_m, r_m, q_m))
+        problem = si.make_problem(
+            d, trajs, constset, starts[0], dtype=jnp.float32
+        )
+        xs0 = jax.tree.map(
+            lambda *leaves: jnp.stack([jnp.asarray(a, jnp.float32) for a in leaves]),
+            *starts,
+        )
+        ys0 = jnp.ones((batch, problem.num_ineq), jnp.float32)
+        return problem, xs0, ys0
+
+    raise ValueError(f"chip_sweep supports NonnegPCA and StableIdentification, got {problem_name}")
+
+
+def measure_sweep(problem, xs0, ys0, option, max_steps, reps=(1, 5), tries=7):
+    """Marginal-rate throughput of the batched compiled RIPTRM sweep."""
+    import jax
+    import jax.numpy as jnp
+
+    from riptrm_tpu.parallel.sweep import batched_riptrm_solve
+
+    bsolve = batched_riptrm_solve(problem, option, max_steps=max_steps)
+    zero = jnp.float32(0)
+
+    def make_repeat(n_reps):
+        def run(eps):
+            def body(carry, _):
+                coupler, total = carry
+                _, ks, res = bsolve(
+                    jax.tree.map(lambda a: a + eps * coupler, xs0), ys0
+                )
+                return (jnp.sum(res).astype(jnp.float32), total + jnp.max(ks)), res
+
+            (_, total), ress = jax.lax.scan(
+                body, (jnp.float32(0), jnp.int32(0)), None, length=n_reps
+            )
+            return total, ress[-1]
+
+        return jax.jit(run)
+
+    f_short, f_long = make_repeat(reps[0]), make_repeat(reps[1])
+    t0 = time.time()
+    f_short(zero)
+    _, res = f_long(zero)
+    res_host = np.asarray(res)
+    compile_s = time.time() - t0
+
+    def timed(f):
+        ts = []
+        for _ in range(tries):
+            t0 = time.perf_counter()
+            np.asarray(f(zero)[0])
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    dt = max(timed(f_long) - timed(f_short), 2e-3)
+    per_sweep = dt / (reps[1] - reps[0])
+    return per_sweep, res_host, compile_s
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--problem", default="NonnegPCA")
+    parser.add_argument("--size", type=int, default=1000,
+                        help="n for NonnegPCA, d for StableIdentification")
+    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--max-steps", type=int, default=400)
+    parser.add_argument("--tolresid", type=float, default=3e-4)
+    parser.add_argument("--pallas", action="store_true",
+                        help="route tCG through the fused Pallas kernel "
+                             "(sphere-quadratic structure only)")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_default_matmul_precision", "high")
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    problem, xs0, ys0 = build_sweep(args.problem, args.size, args.batch, args.seed)
+    gen_s = time.time() - t0
+
+    option = {
+        "maxiter": 60,
+        "tolresid": args.tolresid,
+        "TRS_solver": "tCG",
+        "second_order_stationarity": False,
+        "use_pallas_tcg": args.pallas,
+        # f32 forcing floors (BENCH.md precision notes)
+        "forcing_function_Lagrangian": lambda mu: jnp.maximum(mu, 1e-4),
+        "forcing_function_complementarity": lambda mu: jnp.maximum(1e-3 * mu, 2e-4),
+    }
+    per_sweep, res, compile_s = measure_sweep(
+        problem, xs0, ys0, option, max_steps=args.max_steps
+    )
+    print(
+        json.dumps(
+            {
+                "problem": args.problem,
+                "size": args.size,
+                "batch": args.batch,
+                "solves_per_sec": round(args.batch / per_sweep, 2),
+                "sweep_ms": round(per_sweep * 1e3, 3),
+                "median_residual": float(np.median(res)),
+                "max_residual": float(np.max(res)),
+                "gen_s": round(gen_s, 1),
+                "compile_s": round(compile_s, 1),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,21 @@ def fits_in_vmem_batched(n: int, b: int, dtype_bytes: int = 4) -> bool:
     return n * n * dtype_bytes + 32 * b * n * dtype_bytes <= VMEM_BUDGET_BYTES
 
 
+def max_batched_block(n: int, dtype_bytes: int = 4) -> int:
+    """Largest multiple-of-8 lane-block for the GRIDDED batched tCG kernel.
+
+    Per grid step the kernel holds Z (whole-array, constant block index so
+    the pipeline re-uses one window) plus double-buffered [bb, n] I/O blocks
+    (7 inputs + 2 outputs), ~13 [bb, n] while-loop carries and Mosaic
+    temporaries.  Measured on a v5e at n=1000: actual scoped-VMEM usage is
+    ~38 [1, n]-f32 rows per lane on top of Z, so budget 40."""
+    avail = VMEM_BUDGET_BYTES - n * n * dtype_bytes
+    per_lane = 40 * n * dtype_bytes
+    if avail <= 0:
+        return 0
+    return (avail // per_lane) // 8 * 8
+
+
 def _chain_kernel(corr_ref, z_ref, x_ref, w_ref, v_ref, out_ref, *, n_iters):
     """One kernel invocation runs the whole chain in VMEM.
 
@@ -396,22 +411,10 @@ def pallas_tcg_sphere_quadratic_batched(
     norm_r0 = jnp.linalg.norm(gs32, axis=1)
     target = norm_r0 * jnp.minimum(norm_r0**theta, kappa)
     linear_flag = (kappa < norm_r0**theta).astype(jnp.float32)
+    kern = functools.partial(_tcg_kernel_batched, maxinner=maxinner, mininner=mininner)
     # Per-lane scalars enter pre-broadcast to [B, n] (see kernel docstring)
     bn = lambda a: jnp.broadcast_to(a.astype(jnp.float32)[:, None], (b, n))
-    etas, hetas, stats = pl.pallas_call(
-        functools.partial(_tcg_kernel_batched, maxinner=maxinner, mininner=mininner),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, n), jnp.float32),
-            jax.ShapeDtypeStruct((b, n), jnp.float32),
-            jax.ShapeDtypeStruct((b, 2), jnp.int32),
-        ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ),
-    )(
+    args = (
         bn(corr),
         bn(jnp.broadcast_to(radii, (b,))),
         bn(target),
@@ -421,7 +424,52 @@ def pallas_tcg_sphere_quadratic_batched(
         ws32,
         gs32,
     )
-    return etas, hetas, stats[:, 0], stats[:, 1]
+    if fits_in_vmem_batched(n, b):
+        etas, hetas, stats = pl.pallas_call(
+            kern,
+            out_shape=(
+                jax.ShapeDtypeStruct((b, n), jnp.float32),
+                jax.ShapeDtypeStruct((b, n), jnp.float32),
+                jax.ShapeDtypeStruct((b, 2), jnp.int32),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ),
+        )(*args)
+        return etas, hetas, stats[:, 0], stats[:, 1]
+
+    # GRIDDED path: B exceeds the single-call VMEM budget.  Lane-blocks of
+    # bb run sequentially over a 1-D grid; Z's block index is constant so
+    # the pipeline loads it once and re-uses the window, while the [bb, n]
+    # state blocks stream per grid step.  On a single-core chip this keeps
+    # the fused kernel's per-lane rate for arbitrarily large sweeps (the
+    # alternative — the vmapped XLA path — re-reads Z from HBM every
+    # batched matvec and measured ~1.8x slower at n=1000, BENCH.md).
+    bb = max_batched_block(n)
+    if bb < 8:
+        raise ValueError(f"n={n} too large for the batched tCG kernel")
+    bb = min(bb, -(-b // 8) * 8)
+    pad = -b % bb
+    grid = (b + pad) // bb
+    pad_lane = lambda a: jnp.pad(a, ((0, pad), (0, 0)), mode="edge")
+    blk = pl.BlockSpec((bb, n), lambda i: (i, 0))
+    etas, hetas, stats = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        out_shape=(
+            jax.ShapeDtypeStruct((b + pad, n), jnp.float32),
+            jax.ShapeDtypeStruct((b + pad, n), jnp.float32),
+            jax.ShapeDtypeStruct((b + pad, 2), jnp.int32),
+        ),
+        in_specs=[blk] * 4
+        + [pl.BlockSpec((n, n), lambda i: (0, 0))]
+        + [blk] * 3,
+        out_specs=(blk, blk, pl.BlockSpec((bb, 2), lambda i: (i, 0))),
+    )(*[a if i == 4 else pad_lane(a) for i, a in enumerate(args)])
+    return etas[:b], hetas[:b], stats[:b, 0], stats[:b, 1]
 
 
 def tcg_sphere_quadratic(maxinner, mininner=1, theta=1.0, kappa=0.1):
@@ -432,9 +480,11 @@ def tcg_sphere_quadratic(maxinner, mininner=1, theta=1.0, kappa=0.1):
     sweeps, ``parallel/sweep.py``) the rule routes to the batched kernel —
     Z stays unbatched and is loaded into VMEM once per call, shared across
     all lanes — instead of failing or falling back to per-lane calls.
-    Falls back to a sequential ``lax.map`` of single-lane kernels when Z
-    itself carries a batch axis (per-lane instances cannot share VMEM) or
-    the batched state would overflow VMEM.
+    Batches beyond the single-call VMEM budget run the gridded kernel
+    (sequential lane-blocks sharing one Z window).  Falls back to a
+    sequential ``lax.map`` of single-lane kernels only when Z itself
+    carries a batch axis (per-lane instances cannot share VMEM) or n is
+    too large for even one 8-lane block.
     """
     from jax import custom_batching
 
@@ -454,7 +504,7 @@ def tcg_sphere_quadratic(maxinner, mininner=1, theta=1.0, kappa=0.1):
 
         xs, ws, gs = bc(x, xb), bc(w, wb), bc(grad, gb)
         radii = bc(jnp.asarray(radius, jnp.float32), rb)
-        if zb or not fits_in_vmem_batched(n, axis_size):
+        if zb or max_batched_block(n) < 8:
             out = jax.lax.map(
                 lambda args: pallas_tcg_sphere_quadratic(*args, **kw),
                 (bc(zs, zb), xs, ws, gs, radii),

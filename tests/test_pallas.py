@@ -133,6 +133,42 @@ def test_batched_tcg_interpret(setup):
     )
 
 
+def test_batched_tcg_gridded_interpret(setup, monkeypatch):
+    """When B exceeds the single-call VMEM budget the wrapper runs the
+    lane-blocked grid path (shared Z window); results must match the
+    ungridded kernel, including non-multiple-of-block batch padding."""
+    from riptrm_tpu.ops import pallas_kernels as pk
+
+    problem, st = setup
+    zs = problem.structure["Zs"]
+    n = zs.shape[0]
+    dim = problem.manifold.dim
+    B = 12  # not a multiple of the forced block (8) -> exercises padding
+    xs = jnp.abs(jax.random.normal(jax.random.PRNGKey(11), (B, n), dtype=jnp.float32))
+    xs = xs / jnp.linalg.norm(xs, axis=1, keepdims=True)
+    ws = 0.5 + jnp.abs(jax.random.normal(jax.random.PRNGKey(12), (B, n), dtype=jnp.float32))
+    grads = jax.random.normal(jax.random.PRNGKey(13), (B, n), dtype=jnp.float32)
+    grads = grads - xs * jnp.sum(xs * grads, axis=1, keepdims=True)
+    radii = jnp.linspace(0.1, 0.5, B, dtype=jnp.float32)
+
+    with _interp():
+        ref = pk.pallas_tcg_sphere_quadratic_batched(
+            zs, xs, ws, grads, radii, maxinner=dim
+        )
+    # Shrink the budget so fits_in_vmem_batched(n, 12) fails but an 8-lane
+    # block still fits -> the wrapper must take the gridded path.
+    budget = n * n * 4 + 40 * 8 * n * 4 + 1
+    monkeypatch.setattr(pk, "VMEM_BUDGET_BYTES", budget)
+    assert not pk.fits_in_vmem_batched(n, B)
+    assert pk.max_batched_block(n) == 8
+    with _interp():
+        out = pk.pallas_tcg_sphere_quadratic_batched(
+            zs, xs, ws, grads, radii, maxinner=dim
+        )
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_tcg_custom_vmap_routes_to_batched(setup):
     """vmap of the wrapped single-lane tCG must produce the same results as
     the explicit batched kernel (the custom_vmap rule)."""
