@@ -86,7 +86,12 @@ def build_sweep(problem_name: str, size: int, batch: int, seed: int = 0):
             starts = []
             for i in range(batch):
                 key, sub = jax.random.split(key)
-                j_m, r_m, q_m, _ = si.generate_interior_initialpoint(sub, d, constset)
+                # the scalable target-matching search: the reference's
+                # RALM feasibility loop stops finding the nonconvex
+                # annulus-constrained interior beyond d~5
+                j_m, r_m, q_m, _ = si.generate_interior_initialpoint_lsq(
+                    sub, d, constset
+                )
                 starts.append((j_m, r_m, q_m))
         problem = si.make_problem(
             d, trajs, constset, starts[0], dtype=jnp.float32
@@ -101,14 +106,22 @@ def build_sweep(problem_name: str, size: int, batch: int, seed: int = 0):
     raise ValueError(f"chip_sweep supports NonnegPCA and StableIdentification, got {problem_name}")
 
 
-def measure_sweep(problem, xs0, ys0, option, max_steps, reps=(1, 5), tries=7):
-    """Marginal-rate throughput of the batched compiled RIPTRM sweep."""
+def measure_sweep(problem, xs0, ys0, option, max_steps, reps=(1, 5), tries=7,
+                  solver="RIPTRM"):
+    """Marginal-rate throughput of the batched compiled solver sweep."""
     import jax
     import jax.numpy as jnp
 
-    from riptrm_tpu.parallel.sweep import batched_riptrm_solve
+    from riptrm_tpu.parallel.sweep import batched_riptrm_solve, batched_solver_sweep
 
-    bsolve = batched_riptrm_solve(problem, option, max_steps=max_steps)
+    if solver == "RIPTRM":
+        bsolve = batched_riptrm_solve(problem, option, max_steps=max_steps)
+    else:
+        inner = batched_solver_sweep(problem, solver, option, max_steps=max_steps)
+
+        def bsolve(xs, ys):
+            _, _, ks, res = inner(xs, ys)
+            return None, ks, res
     zero = jnp.float32(0)
 
     def make_repeat(n_reps):
@@ -118,7 +131,10 @@ def measure_sweep(problem, xs0, ys0, option, max_steps, reps=(1, 5), tries=7):
                 _, ks, res = bsolve(
                     jax.tree.map(lambda a: a + eps * coupler, xs0), ys0
                 )
-                return (jnp.sum(res).astype(jnp.float32), total + jnp.max(ks)), res
+                return (
+                    jnp.sum(res).astype(jnp.float32),
+                    total + jnp.max(ks).astype(jnp.int32),
+                ), res
 
             (_, total), ress = jax.lax.scan(
                 body, (jnp.float32(0), jnp.int32(0)), None, length=n_reps
@@ -158,6 +174,8 @@ def main(argv=None):
     parser.add_argument("--pallas", action="store_true",
                         help="route tCG through the fused Pallas kernel "
                              "(sphere-quadratic structure only)")
+    parser.add_argument("--solver", default="RIPTRM",
+                        choices=["RIPTRM", "RIPM", "RSQO", "RALM"])
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -183,7 +201,7 @@ def main(argv=None):
         "forcing_function_complementarity": lambda mu: jnp.maximum(1e-3 * mu, 2e-4),
     }
     per_sweep, res, compile_s = measure_sweep(
-        problem, xs0, ys0, option, max_steps=args.max_steps
+        problem, xs0, ys0, option, max_steps=args.max_steps, solver=args.solver
     )
     print(
         json.dumps(
@@ -191,6 +209,7 @@ def main(argv=None):
                 "problem": args.problem,
                 "size": args.size,
                 "batch": args.batch,
+                "solver": args.solver,
                 "solves_per_sec": round(args.batch / per_sweep, 2),
                 "sweep_ms": round(per_sweep * 1e3, 3),
                 "median_residual": float(np.median(res)),

@@ -255,6 +255,126 @@ def generate_trajectory(rng, d: int, true_A, h: float, n_steps: int, snr: float)
     return X, noisyX
 
 
+def feasible_entry_targets(constset):
+    """Per constrained entry of A, a strictly feasible target value.
+
+    Each entry's feasible set is an interval [lo, hi] (onebox / twobox box
+    rows) minus annulus holes (twobox quadratic rows, |a - cc| >= k); the
+    target is the midpoint of the widest remaining segment — strictly
+    interior with margin = half the segment width.  Built from the
+    ORIGINAL constraint parameters (the generator's interior_scaling
+    "tightening" multiplies bounds toward zero, which *loosens* positive
+    lower bounds, so tightened-set midpoints can violate the original
+    set).  Returns (rows, cols, targets) numpy arrays.
+    """
+    kinds, rows, cols, p1s, p2s = parse_constset(constset, 1.0)
+    entries: dict = {}
+    for kind, r, c, p1, p2 in zip(kinds, rows, cols, p1s, p2s):
+        e = entries.setdefault(
+            (int(r), int(c)), {"lo": -np.inf, "hi": np.inf, "holes": []}
+        )
+        if kind == KIND_LS:
+            e["lo"] = max(e["lo"], float(p1))
+        elif kind == KIND_RS:
+            e["hi"] = min(e["hi"], float(p2))
+        else:
+            # |a - cc| >= |k|; k enters the constraint as k^2 and the
+            # generator's k = cc + u*(aval - cc) is negative for aval < 0
+            half = abs(float(p2))
+            e["holes"].append((float(p1) - half, float(p1) + half))
+    t_rows, t_cols, t_vals = [], [], []
+    for (r, c), e in sorted(entries.items()):
+        lo, hi = e["lo"], e["hi"]
+        if not np.isfinite(lo):  # guard: entry without a box row
+            lo = min([h[0] for h in e["holes"]], default=-1.0) - 1.0
+        if not np.isfinite(hi):
+            hi = max([h[1] for h in e["holes"]], default=1.0) + 1.0
+        segs = [(lo, hi)]
+        for a, b in e["holes"]:
+            segs = [
+                s
+                for seg in segs
+                for s in ((seg[0], min(seg[1], a)), (max(seg[0], b), seg[1]))
+            ]
+        segs = [s for s in segs if s[1] > s[0]]
+        if not segs:
+            raise ValueError(
+                f"entry ({r},{c}): tightened feasible set is empty"
+            )
+        lo_s, hi_s = max(segs, key=lambda s: s[1] - s[0])
+        t_rows.append(r)
+        t_cols.append(c)
+        t_vals.append(0.5 * (lo_s + hi_s))
+    return (
+        np.asarray(t_rows, np.int32),
+        np.asarray(t_cols, np.int32),
+        np.asarray(t_vals),
+    )
+
+
+def generate_interior_initialpoint_lsq(
+    key,
+    d: int,
+    constset,
+    scaling: float = 1.0,
+    interior_scaling: float = 0.95,
+    max_tries: int = 10,
+    cg_iters: int = 1000,
+):
+    """Scalable feasible-interior start search (extension; no reference
+    equivalent beyond d=5).
+
+    The reference's RALM feasibility search (``generator.py:137-223``)
+    relies on a random start landing in the basin of a feasible point; the
+    twobox annuli are nonconvex, so that basin vanishes as d (and the
+    constraint count ~0.4 d^2) grows — measured: 0/30 successes at d=16.
+    Here we instead (1) construct a strictly feasible target value per
+    constrained entry of A (``feasible_entry_targets``), and (2) drive
+    those entries of A(J,R,Q) = (J-R)Q to their targets by Riemannian
+    least-squares with the conjugate-gradient subsolver — smooth,
+    overparametrized ((3d^2+d)/2 parameters vs ~0.3 d^2 targets), so the
+    residual generically reaches ~0.  Stability is structural: for any
+    R, Q > 0, sym(Q^{1/2}(J-R)Q^{1/2}) = -Q^{1/2} R Q^{1/2} < 0, so
+    A = (J-R)Q is Hurwitz with no retry loop.
+    """
+    from riptrm_tpu.solvers.subsolvers import conjugate_gradient
+
+    man = Product(
+        [SkewSymmetric(d), SymmetricPositiveDefinite(d), SymmetricPositiveDefinite(d)]
+    )
+    del interior_scaling  # targets use the original set (see feasible_entry_targets)
+    t_rows, t_cols, t_vals = feasible_entry_targets(constset)
+    rows_j, cols_j = jnp.asarray(t_rows), jnp.asarray(t_cols)
+    targets_j = jnp.asarray(t_vals)
+    sqrt_s = math.sqrt(scaling)
+
+    def cost(x):
+        J, R, Q = x
+        a = ((J - R) @ Q)[rows_j, cols_j]
+        return jnp.sum((a - targets_j) ** 2)
+
+    egrad = jax.grad(cost)
+
+    def rgrad(x):
+        return man.egrad2rgrad(x, egrad(x))
+
+    for _ in range(max_tries):
+        key, sub = jax.random.split(key)
+        J, R, Q = man.random_point(sub)
+        x0 = (sqrt_s * J, sqrt_s * R, sqrt_s * Q)
+        res = conjugate_gradient(
+            man, cost, rgrad, x0, max_iterations=cg_iters, min_gradient_norm=1e-12
+        )
+        Jf, Rf, Qf = (np.asarray(a) for a in res.point)
+        A = (Jf - Rf) @ Qf
+        orig = make_problem(d, [], constset, (Jf, Rf, Qf), cost_zero=True)
+        interior = bool(np.all(np.asarray(orig.ineq_val(orig.x0)) < 0))
+        stable = bool(np.all(np.real(np.linalg.eigvals(A)) < 0))
+        if interior and stable:
+            return Jf, Rf, Qf, A
+    raise ValueError("Cannot find a feasible and interior initial point.")
+
+
 def generate_interior_initialpoint(
     key,
     d: int,

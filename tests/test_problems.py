@@ -150,3 +150,35 @@ def test_stable_generator_pipeline():
     # generated constraints hold at the true system (interior by design)
     p = si.make_problem(3, [X], constset, (J, R, Q))
     assert bool(jnp.all(p.ineq_val(p.x0) <= 1e-9))
+
+
+def test_stable_interior_initialpoint_lsq():
+    """Target-matching interior start search at a scale where the
+    reference's random-start RALM search no longer succeeds (the twobox
+    annuli are nonconvex)."""
+    d = 8  # int(64 * 0.1) = 6 twobox pairs -> exercises the annulus holes
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    _, _, _, true_a = si.generate_true_system(key, d)
+    constset = si.generate_constraints(rng, d, true_a, 0.2, 0.1)
+
+    # every target must satisfy every constraint on its entry strictly
+    t_rows, t_cols, t_vals = si.feasible_entry_targets(constset)
+    tmap = {(int(r), int(c)): v for r, c, v in zip(t_rows, t_cols, t_vals)}
+    kinds, rows, cols, p1s, p2s = si.parse_constset(constset, 1.0)
+    a = np.array([tmap[(int(r), int(c))] for r, c in zip(rows, cols)])
+    g = np.where(
+        kinds == si.KIND_LS,
+        -a + p1s,
+        np.where(kinds == si.KIND_RS, a - p2s, -((a - p1s) ** 2) + p2s**2),
+    )
+    assert np.all(g < 0)
+
+    J, R, Q, A = si.generate_interior_initialpoint_lsq(
+        jax.random.PRNGKey(3), d, constset
+    )
+    prob = si.make_problem(d, [], constset, (J, R, Q), cost_zero=True)
+    assert np.all(np.asarray(prob.ineq_val(prob.x0)) < 0)
+    assert np.all(np.real(np.linalg.eigvals(A)) < 0)
+    np.testing.assert_allclose(J, -J.T, atol=1e-9)
+    assert np.min(np.linalg.eigvalsh(R)) > 0 and np.min(np.linalg.eigvalsh(Q)) > 0
