@@ -160,7 +160,110 @@ def main():
         fetch_ts.append(time.perf_counter() - t0)
     fetch_overhead = min(fetch_ts)
 
-    # ---- 2. compiled full solve (marginal over repeated solves) ---------
+    # ---- 2. batched multi-start sweep throughput (dp axis on one chip) --
+    # Runs BEFORE the single-solve stats: the batched sweep is the primary
+    # TPU scaling axis (SURVEY §2.3) and must survive the deadline guard.
+    from riptrm_tpu.parallel.sweep import batched_riptrm_solve
+
+    zero = jnp.float32(0)
+    batch_stats = {}
+    B = 16
+    kb = jax.random.PRNGKey(7)
+    xs0 = jnp.abs(jax.random.normal(kb, (B, N), dtype=dtype))
+    xs0 = xs0 / jnp.linalg.norm(xs0, axis=1, keepdims=True)
+    ys0 = jnp.ones((B, N), dtype=dtype)
+    # Batched lanes run their matvecs through the MXU, whose default
+    # bf16-pass precision has a noise floor far above scalar f32 and stalls
+    # the inner loop at tight tolerances (BENCH.md precision notes).
+    # 'high' (3-pass bf16) reaches the same residual floor as 'highest'
+    # (6-pass) at 1.39x the throughput.
+    if _time_left(150.0):
+        problem_hp = nonneg_pca.make_problem(
+            data["Z"], x0, dtype=dtype, matmul_precision="high"
+        )
+        B_SHORT, B_LONG = 1, 9
+
+        def make_repeat_batch(bsolve, xs, ys, reps):
+            def run(eps):
+                def body(carry, _):
+                    coupler, total = carry
+                    _, ks, res = bsolve(xs + eps * coupler, ys)
+                    return (
+                        jnp.sum(res).astype(jnp.float32),
+                        total + jnp.max(ks),
+                    ), res
+                (_, total), ress = jax.lax.scan(
+                    body, (jnp.float32(0), jnp.int32(0)), None, length=reps
+                )
+                return total, ress[-1]
+            return jax.jit(run)
+
+        def measure_batch(bsolve, xs, ys):
+            fb_short = make_repeat_batch(bsolve, xs, ys, B_SHORT)
+            fb_long = make_repeat_batch(bsolve, xs, ys, B_LONG)
+            fb_short(zero)
+            tot_l, res_b = fb_long(zero)  # compile both
+            res_host = np.asarray(res_b)
+            k_avg = float(tot_l) / B_LONG  # max inner steps, rep-averaged
+            t_bs = timed_fetch(lambda e: fb_short(e)[0], zero, tries=7)
+            t_bl = timed_fetch(lambda e: fb_long(e)[0], zero, tries=7)
+            t_batch = max(t_bl - t_bs, 2e-3) / (B_LONG - B_SHORT)
+            return t_batch, k_avg, res_host
+
+        t_batch, k_batch, res_host = measure_batch(
+            batched_riptrm_solve(problem_hp, option, max_steps=SOLVE_STEPS),
+            xs0, ys0,
+        )
+        batch_stats = {
+            "batch16_solves_per_sec": round(B / t_batch, 3),
+            "batch16_inner_steps_per_sec": round(B * k_batch / t_batch, 1),
+            "batch16_median_residual": float(np.median(res_host)),
+            "batch16_max_residual": float(np.max(res_host)),
+        }
+        # Batched fused Pallas tCG: custom_vmap routes each lane's tCG into
+        # ONE shared-Z VMEM-resident kernel (measured ~2x the XLA-'high'
+        # batched path at the same residual floor).
+        if pallas_matvecs_per_s and _time_left(120.0):
+            try:
+                t_p, k_p, res_p = measure_batch(
+                    batched_riptrm_solve(
+                        problem_hp,
+                        option | {"use_pallas_tcg": True},
+                        max_steps=SOLVE_STEPS,
+                    ),
+                    xs0, ys0,
+                )
+                batch_stats.update(
+                    batch16_pallas_solves_per_sec=round(B / t_p, 3),
+                    batch16_pallas_median_residual=float(np.median(res_p)),
+                )
+            except Exception as e:
+                batch_stats["batch16_pallas_error"] = f"{type(e).__name__}: {e}"[:200]
+        # Large sweep through the GRIDDED batched kernel (B beyond the
+        # single-call VMEM cap runs sequential lane-blocks over one shared
+        # Z window — best single-chip sweep throughput, BENCH.md).
+        if pallas_matvecs_per_s and _time_left(120.0):
+            try:
+                BL = 128
+                xsL = jnp.abs(jax.random.normal(kb, (BL, N), dtype=dtype))
+                xsL = xsL / jnp.linalg.norm(xsL, axis=1, keepdims=True)
+                ysL = jnp.ones((BL, N), dtype=dtype)
+                t_p, k_p, res_p = measure_batch(
+                    batched_riptrm_solve(
+                        problem_hp,
+                        option | {"use_pallas_tcg": True},
+                        max_steps=SOLVE_STEPS,
+                    ),
+                    xsL, ysL,
+                )
+                batch_stats.update(
+                    batch128_pallas_solves_per_sec=round(BL / t_p, 1),
+                    batch128_pallas_median_residual=float(np.median(res_p)),
+                )
+            except Exception as e:
+                batch_stats["batch128_pallas_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # ---- 3. compiled full solve (marginal over repeated solves) ---------
     # One jit program runs the SAME solve `reps` times inside a lax.scan,
     # each repetition data-dependent on the previous one (x0 is perturbed
     # by eps * <previous result> with eps = 0 at runtime, which XLA cannot
@@ -180,143 +283,48 @@ def main():
                 return (st.mu.astype(jnp.float32), total + k), (
                     st.outer_iter,
                     k,
+                    compute_residual_final(st),
                 )
-            (_, total), (outers, ks) = jax.lax.scan(
+            (_, total), (outers, ks, resids) = jax.lax.scan(
                 body, (jnp.float32(0), jnp.int32(0)), None, length=reps
             )
-            return total, outers[-1], ks[-1]
+            return total, outers[-1], ks[-1], resids[-1]
         return jax.jit(run)
 
-    zero = jnp.float32(0)
+    from riptrm_tpu.ops.kkt import compute_residual
+
+    def compute_residual_final(st):
+        return compute_residual(problem, st.x, st.y, jnp.zeros((0,)))[0]
 
     def solve_marginal(solve_fn):
-        """(inner_steps_per_solve, outer_iters_per_solve, sec_per_solve)."""
+        """(inner_steps, outer_iters, sec_per_solve, final_residual)."""
         f_short = make_repeat_solve(solve_fn, REPS_SHORT)
         f_long = make_repeat_solve(solve_fn, REPS_LONG)
-        tot_s, _, _ = f_short(zero)
-        tot_l, outer, k_last = f_long(zero)  # compile both
+        f_short(zero)
+        _, outer, k_last, res_last = f_long(zero)  # compile both
         t_short = timed_fetch(lambda e: f_short(e)[0], zero, tries=7)
         t_long = timed_fetch(lambda e: f_long(e)[0], zero, tries=7)
         dt = max(t_long - t_short, 2e-3)
         per_solve = dt / (REPS_LONG - REPS_SHORT)
-        return int(k_last), int(outer), per_solve
+        return int(k_last), int(outer), per_solve, float(res_last)
 
     solve = solver.solve_compiled(problem, max_steps=SOLVE_STEPS)
-    inner_steps, outer_iters, t_solve = solve_marginal(solve)
+    inner_steps, outer_iters, t_solve, final_residual = solve_marginal(solve)
     inner_per_s = inner_steps / t_solve
     outer_per_s = outer_iters / t_solve
-    st, _ = jax.jit(solve)(state0)  # final state for the residual report
 
-    # ---- 2a. compiled solve with the fused Pallas tCG kernel -------------
+    # ---- 3a. compiled solve with the fused Pallas tCG kernel -------------
     pallas_solve_stats = {}
-    if pallas_matvecs_per_s and _time_left(120.0):
+    if pallas_matvecs_per_s and _time_left(90.0):
         solver_p = RIPTRM(option | {"use_pallas_tcg": True})
         solve_p = solver_p.solve_compiled(problem, max_steps=SOLVE_STEPS)
-        steps_p, _, t_p = solve_marginal(solve_p)
+        steps_p, _, t_p, _ = solve_marginal(solve_p)
         pallas_solve_stats = {
             "pallas_solve_inner_steps_per_sec": round(steps_p / t_p, 1),
             "pallas_solve_ms": round(t_p * 1e3, 2),
         }
 
-    # ---- 2b. batched multi-start sweep throughput (dp axis on one chip) --
-    from riptrm_tpu.parallel.sweep import batched_riptrm_solve
-
-    batch_stats = {}
-    B = 16
-    kb = jax.random.PRNGKey(7)
-    xs0 = jnp.abs(jax.random.normal(kb, (B, N), dtype=dtype))
-    xs0 = xs0 / jnp.linalg.norm(xs0, axis=1, keepdims=True)
-    ys0 = jnp.ones((B, N), dtype=dtype)
-    # Batched lanes run their matvecs through the MXU, whose default
-    # bf16-pass precision has a noise floor far above scalar f32 and stalls
-    # the inner loop at tight tolerances (BENCH.md precision notes).
-    # 'high' (3-pass bf16) reaches the same residual floor as 'highest'
-    # (6-pass) at 1.39x the throughput (measured: 703 vs 506 solves/s;
-    # 'default' stalls at 0.0386).
-    if _time_left(150.0):
-        problem_hp = nonneg_pca.make_problem(
-            data["Z"], x0, dtype=dtype, matmul_precision="high"
-        )
-        B_SHORT, B_LONG = 1, 9
-
-        def make_repeat_batch(bsolve, reps):
-            def run(eps):
-                def body(carry, _):
-                    coupler, total = carry
-                    _, ks, res = bsolve(xs0 + eps * coupler, ys0)
-                    return (
-                        jnp.sum(res).astype(jnp.float32),
-                        total + jnp.max(ks),
-                    ), res
-                (_, total), ress = jax.lax.scan(
-                    body, (jnp.float32(0), jnp.int32(0)), None, length=reps
-                )
-                return total, ress[-1]
-            return jax.jit(run)
-
-        def measure_batch(bsolve):
-            fb_short = make_repeat_batch(bsolve, B_SHORT)
-            fb_long = make_repeat_batch(bsolve, B_LONG)
-            fb_short(zero)
-            _, res_b = fb_long(zero)  # compile both
-            res_host = np.asarray(res_b)
-            t_bs = timed_fetch(lambda e: fb_short(e)[0], zero, tries=7)
-            t_bl = timed_fetch(lambda e: fb_long(e)[0], zero, tries=7)
-            t_batch = max(t_bl - t_bs, 2e-3) / (B_LONG - B_SHORT)
-            _, kb_, _ = bsolve(xs0, ys0)
-            return t_batch, int(jnp.max(kb_)), res_host
-
-        t_batch, k_batch, res_host = measure_batch(
-            batched_riptrm_solve(problem_hp, option, max_steps=SOLVE_STEPS)
-        )
-        batch_stats = {
-            "batch16_solves_per_sec": round(B / t_batch, 3),
-            "batch16_inner_steps_per_sec": round(B * k_batch / t_batch, 1),
-            "batch16_median_residual": float(np.median(res_host)),
-            "batch16_max_residual": float(np.max(res_host)),
-        }
-        # Batched fused Pallas tCG: custom_vmap routes each lane's tCG into
-        # ONE shared-Z VMEM-resident kernel (measured 2.4x the XLA-'high'
-        # batched path at the same residual floor).
-        if pallas_matvecs_per_s and _time_left(120.0):
-            try:
-                t_p, k_p, res_p = measure_batch(
-                    batched_riptrm_solve(
-                        problem_hp,
-                        option | {"use_pallas_tcg": True},
-                        max_steps=SOLVE_STEPS,
-                    )
-                )
-                batch_stats.update(
-                    batch16_pallas_solves_per_sec=round(B / t_p, 3),
-                    batch16_pallas_median_residual=float(np.median(res_p)),
-                )
-            except Exception as e:
-                batch_stats["batch16_pallas_error"] = f"{type(e).__name__}: {e}"[:200]
-        # Large sweep through the GRIDDED batched kernel (B beyond the
-        # single-call VMEM cap runs sequential lane-blocks over one shared
-        # Z window — best single-chip sweep throughput, BENCH.md).
-        if pallas_matvecs_per_s and _time_left(150.0):
-            try:
-                BL = 128
-                xs0 = jnp.abs(jax.random.normal(kb, (BL, N), dtype=dtype))
-                xs0 = xs0 / jnp.linalg.norm(xs0, axis=1, keepdims=True)
-                ys0 = jnp.ones((BL, N), dtype=dtype)
-                t_p, k_p, res_p = measure_batch(
-                    batched_riptrm_solve(
-                        problem_hp,
-                        option | {"use_pallas_tcg": True},
-                        max_steps=SOLVE_STEPS,
-                    )
-                )
-                batch_stats.update(
-                    batch128_pallas_solves_per_sec=round(BL / t_p, 1),
-                    batch128_pallas_median_residual=float(np.median(res_p)),
-                )
-            except Exception as e:
-                batch_stats["batch128_pallas_error"] = f"{type(e).__name__}: {e}"[:200]
-
-    # ---- 3. NumPy host baseline for the same chained matvec -------------
+    # ---- 4. NumPy host baseline for the same chained matvec -------------
     z_np = np.asarray(data["Z"], dtype=np.float64)
     x_np = np.asarray(x, dtype=np.float64)
     y_np = np.asarray(y, dtype=np.float64)
@@ -361,11 +369,7 @@ def main():
             **pallas_solve_stats,
             **batch_stats,
             "fetch_overhead_ms": round(fetch_overhead * 1e3, 2),
-            "final_kkt_residual": float(
-                __import__("riptrm_tpu.ops.kkt", fromlist=["compute_residual"]).compute_residual(
-                    problem, st.x, st.y, jnp.zeros((0,))
-                )[0]
-            ),
+            "final_kkt_residual": final_residual,
             "numpy_host_matvecs_per_sec": round(np_matvecs_per_s, 1),
             "device": str(jax.devices()[0]),
         },

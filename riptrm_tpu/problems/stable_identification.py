@@ -88,7 +88,22 @@ def make_problem(
     interior_scaling: float = 1.0,
     cost_zero: bool = False,
     dtype=None,
+    mesh=None,
+    data_axis: str = "tp",
 ) -> Problem:
+    """Build the StableIdentification problem.
+
+    ``mesh``/``data_axis``: shard the concatenated trajectory data over a
+    mesh axis (BASELINE north star: "large StableIdentification instances
+    additionally shard the HVP matvec").  The cost contracts the [d, N]
+    data columns, so placing X/XP with ``NamedSharding(mesh, P(None,
+    data_axis))`` partitions every cost/gradient/HVP evaluation across the
+    axis — XLA inserts the final ``psum`` over the residual reduction; the
+    (J, R, Q) iterate stays replicated.  Column counts that do not divide
+    the axis size are zero-padded (exact: an all-zero (x, x') column pair
+    contributes 0 to the residual sum, and the 1/N normalization uses the
+    true count).
+    """
     man = Product(
         [SkewSymmetric(d), SymmetricPositiveDefinite(d), SymmetricPositiveDefinite(d)]
     )
@@ -100,6 +115,17 @@ def make_problem(
     X = jnp.asarray(np.hstack(xs), dtype=dtype) if xs else jnp.zeros((d, 0))
     XP = jnp.asarray(np.hstack(xps), dtype=dtype) if xps else jnp.zeros((d, 0))
     n_cols = X.shape[1]
+    if mesh is not None and n_cols:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis_size = mesh.shape[data_axis]
+        pad = (-n_cols) % axis_size
+        if pad:
+            X = jnp.pad(X, ((0, 0), (0, pad)))
+            XP = jnp.pad(XP, ((0, 0), (0, pad)))
+        data_sharding = NamedSharding(mesh, P(None, data_axis))
+        X = jax.device_put(X, data_sharding)
+        XP = jax.device_put(XP, data_sharding)
 
     kinds, rows, cols, p1s, p2s = parse_constset(constset, interior_scaling)
     kinds_j = jnp.asarray(kinds)
