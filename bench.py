@@ -41,12 +41,48 @@ SOLVE_STEPS = 400
 DEADLINE_S = 480.0
 _START = time.time()
 
+# Results accumulate here as sections complete; the emit path (normal end,
+# SIGTERM from an external timeout, or the SIGALRM backstop) prints whatever
+# has been measured so far — a remote compile can block for minutes with no
+# way to interrupt it, so the headline line must never depend on every
+# section finishing.
+RESULT = {
+    "metric": "riptrm_tcg_matvecs_per_sec_nonnegpca_n1000",
+    "value": 0,
+    "unit": "matvec/s",
+    "vs_baseline": 0,
+    "extras": {},
+}
+_EMITTED = False
+
+
+def _emit():
+    global _EMITTED
+    if not _EMITTED:
+        _EMITTED = True
+        print(json.dumps(RESULT), flush=True)
+
+
+def _install_deadline_handlers():
+    import os
+    import signal
+
+    def handler(signum, frame):
+        RESULT["extras"]["truncated_by_signal"] = signum
+        _emit()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, handler)
+    signal.signal(signal.SIGALRM, handler)
+    signal.alarm(int(DEADLINE_S + 30))
+
 
 def _time_left(margin: float = 60.0) -> bool:
     return time.time() - _START < DEADLINE_S - margin
 
 
 def main():
+    _install_deadline_handlers()
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -160,13 +196,56 @@ def main():
         fetch_ts.append(time.perf_counter() - t0)
     fetch_overhead = min(fetch_ts)
 
-    # ---- 2. batched multi-start sweep throughput (dp axis on one chip) --
+    # ---- 2. NumPy host baseline for the same chained matvec -------------
+    # Host-only and cheap; runs before the compile-heavy device sections so
+    # the headline value/vs_baseline are final even on a truncated emit.
+    z_np = np.asarray(data["Z"], dtype=np.float64)
+    x_np = np.asarray(x, dtype=np.float64)
+    y_np = np.asarray(y, dtype=np.float64)
+    c_np = x_np.copy()  # slack = x for NonnegPCA
+    v = np.asarray(problem.manifold.random_tangent(jax.random.PRNGKey(3), x))
+
+    zs_np = z_np + z_np.T  # hoisted so the baseline pays one matvec per call
+    eg = -zs_np @ x_np
+
+    def hw_np(dx):
+        # ehess f = -2 Z dx; rhess = proj(ehess) - (x.egrad) dx; barrier term
+        eh = -zs_np @ dx
+        rh = eh - np.dot(x_np, eh) * x_np - np.dot(x_np, eg) * dx
+        gxaj = -(-dx)  # d/dt slack = dx ... slack = x so Gxaj(dx) = dx
+        w = y_np * gxaj / c_np
+        bar = w - np.dot(x_np, w) * x_np  # proj of sum w_i * e_i
+        return rh + bar
+
+    n_np = 64
+    t0 = time.perf_counter()
+    for _ in range(n_np):
+        v = hw_np(v)
+        v = v / np.linalg.norm(v)
+    t_np = (time.perf_counter() - t0) / n_np
+    np_matvecs_per_s = 1.0 / t_np
+
+    RESULT["value"] = round(matvecs_per_s, 1)
+    RESULT["vs_baseline"] = round(matvecs_per_s / np_matvecs_per_s, 2)
+    extras = RESULT["extras"]
+    extras.update(
+        xla_chain_matvecs_per_sec=round(xla_matvecs_per_s, 1),
+        pallas_chain_matvecs_per_sec=(
+            round(pallas_matvecs_per_s, 1) if pallas_matvecs_per_s else None
+        ),
+        pallas_error=pallas_error,
+        fetch_overhead_ms=round(fetch_overhead * 1e3, 2),
+        numpy_host_matvecs_per_sec=round(np_matvecs_per_s, 1),
+        device=str(jax.devices()[0]),
+    )
+
+    # ---- 3. batched multi-start sweep throughput (dp axis on one chip) --
     # Runs BEFORE the single-solve stats: the batched sweep is the primary
     # TPU scaling axis (SURVEY §2.3) and must survive the deadline guard.
     from riptrm_tpu.parallel.sweep import batched_riptrm_solve
 
     zero = jnp.float32(0)
-    batch_stats = {}
+    batch_stats = extras  # stats land in the emitted extras as they finish
     B = 16
     kb = jax.random.PRNGKey(7)
     xs0 = jnp.abs(jax.random.normal(kb, (B, N), dtype=dtype))
@@ -214,12 +293,12 @@ def main():
             batched_riptrm_solve(problem_hp, option, max_steps=SOLVE_STEPS),
             xs0, ys0,
         )
-        batch_stats = {
-            "batch16_solves_per_sec": round(B / t_batch, 3),
-            "batch16_inner_steps_per_sec": round(B * k_batch / t_batch, 1),
-            "batch16_median_residual": float(np.median(res_host)),
-            "batch16_max_residual": float(np.max(res_host)),
-        }
+        batch_stats.update(
+            batch16_solves_per_sec=round(B / t_batch, 3),
+            batch16_inner_steps_per_sec=round(B * k_batch / t_batch, 1),
+            batch16_median_residual=float(np.median(res_host)),
+            batch16_max_residual=float(np.max(res_host)),
+        )
         # Batched fused Pallas tCG: custom_vmap routes each lane's tCG into
         # ONE shared-Z VMEM-resident kernel (measured ~2x the XLA-'high'
         # batched path at the same residual floor).
@@ -308,88 +387,34 @@ def main():
         per_solve = dt / (REPS_LONG - REPS_SHORT)
         return int(k_last), int(outer), per_solve, float(res_last)
 
-    solve = solver.solve_compiled(problem, max_steps=SOLVE_STEPS)
-    inner_steps, outer_iters, t_solve, final_residual = solve_marginal(solve)
-    inner_per_s = inner_steps / t_solve
-    outer_per_s = outer_iters / t_solve
+    if _time_left(90.0):
+        solve = solver.solve_compiled(problem, max_steps=SOLVE_STEPS)
+        inner_steps, outer_iters, t_solve, final_residual = solve_marginal(solve)
+        extras.update(
+            inner_steps_per_sec=round(inner_steps / t_solve, 2),
+            outer_iters_per_sec=round(outer_iters / t_solve, 2),
+            inner_steps=inner_steps,
+            outer_iters=outer_iters,
+            final_kkt_residual=final_residual,
+        )
 
-    # ---- 3a. compiled solve with the fused Pallas tCG kernel -------------
-    pallas_solve_stats = {}
+    # ---- 4a. compiled solve with the fused Pallas tCG kernel -------------
     if pallas_matvecs_per_s and _time_left(90.0):
         solver_p = RIPTRM(option | {"use_pallas_tcg": True})
         solve_p = solver_p.solve_compiled(problem, max_steps=SOLVE_STEPS)
         steps_p, _, t_p, _ = solve_marginal(solve_p)
-        pallas_solve_stats = {
-            "pallas_solve_inner_steps_per_sec": round(steps_p / t_p, 1),
-            "pallas_solve_ms": round(t_p * 1e3, 2),
-        }
+        extras.update(
+            pallas_solve_inner_steps_per_sec=round(steps_p / t_p, 1),
+            pallas_solve_ms=round(t_p * 1e3, 2),
+        )
 
-    # ---- 4. NumPy host baseline for the same chained matvec -------------
-    z_np = np.asarray(data["Z"], dtype=np.float64)
-    x_np = np.asarray(x, dtype=np.float64)
-    y_np = np.asarray(y, dtype=np.float64)
-    c_np = x_np.copy()  # slack = x for NonnegPCA
-    v = np.asarray(problem.manifold.random_tangent(jax.random.PRNGKey(3), x))
-
-    zs = z_np + z_np.T  # hoisted so the baseline pays one matvec per call
-    eg = -zs @ x_np
-
-    def hw_np(dx):
-        # ehess f = -2 Z dx; rhess = proj(ehess) - (x.egrad) dx; barrier term
-        eh = -zs @ dx
-        rh = eh - np.dot(x_np, eh) * x_np - np.dot(x_np, eg) * dx
-        gxaj = -(-dx)  # d/dt slack = dx ... slack = x so Gxaj(dx) = dx
-        w = y_np * gxaj / c_np
-        bar = w - np.dot(x_np, w) * x_np  # proj of sum w_i * e_i
-        return rh + bar
-
-    n_np = 64
-    t0 = time.perf_counter()
-    for _ in range(n_np):
-        v = hw_np(v)
-        v = v / np.linalg.norm(v)
-    t_np = (time.perf_counter() - t0) / n_np
-    np_matvecs_per_s = 1.0 / t_np
-
-    result = {
-        "metric": "riptrm_tcg_matvecs_per_sec_nonnegpca_n1000",
-        "value": round(matvecs_per_s, 1),
-        "unit": "matvec/s",
-        "vs_baseline": round(matvecs_per_s / np_matvecs_per_s, 2),
-        "extras": {
-            "xla_chain_matvecs_per_sec": round(xla_matvecs_per_s, 1),
-            "pallas_chain_matvecs_per_sec": (
-                round(pallas_matvecs_per_s, 1) if pallas_matvecs_per_s else None
-            ),
-            "pallas_error": pallas_error,
-            "inner_steps_per_sec": round(inner_per_s, 2),
-            "outer_iters_per_sec": round(outer_per_s, 2),
-            "inner_steps": inner_steps,
-            "outer_iters": outer_iters,
-            **pallas_solve_stats,
-            **batch_stats,
-            "fetch_overhead_ms": round(fetch_overhead * 1e3, 2),
-            "final_kkt_residual": final_residual,
-            "numpy_host_matvecs_per_sec": round(np_matvecs_per_s, 1),
-            "device": str(jax.devices()[0]),
-        },
-    }
-    print(json.dumps(result))
+    _emit()
 
 
 if __name__ == "__main__":
     try:
         main()
     except Exception as e:  # the driver records stdout; always emit the line
-        print(
-            json.dumps(
-                {
-                    "metric": "riptrm_tcg_matvecs_per_sec_nonnegpca_n1000",
-                    "value": 0,
-                    "unit": "matvec/s",
-                    "vs_baseline": 0,
-                    "error": f"{type(e).__name__}: {e}",
-                }
-            )
-        )
-        raise SystemExit(1)
+        RESULT["error"] = f"{type(e).__name__}: {e}"
+        _emit()
+        raise SystemExit(0 if RESULT["value"] else 1)

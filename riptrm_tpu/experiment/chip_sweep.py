@@ -103,7 +103,31 @@ def build_sweep(problem_name: str, size: int, batch: int, seed: int = 0):
         ys0 = jnp.ones((batch, problem.num_ineq), jnp.float32)
         return problem, xs0, ys0
 
-    raise ValueError(f"chip_sweep supports NonnegPCA and StableIdentification, got {problem_name}")
+    if problem_name == "Rosenbrock":
+        from riptrm_tpu.problems import rosenbrock
+
+        n = size
+        k = min(3, n - 1) if n > 1 else 1
+        problem = rosenbrock.make_problem(n, k, dtype=jnp.float32)
+        # The reference's Rosenbrock start is the single deterministic
+        # |I[:, :k]| (coordinator.py:78-84); the sweep batches small
+        # tangent retractions of it — on-manifold, and with step 5e-3 the
+        # entries stay above the -0.01 constraint bound (feasible).
+        man = problem.manifold
+        x0 = problem.x0
+        starts = []
+        for i in range(batch):
+            key, sub = jax.random.split(key)
+            v = man.random_tangent(sub, x0)
+            starts.append(man.retract(x0, 5e-3 * v))
+        xs0 = jnp.stack([jnp.asarray(s, jnp.float32) for s in starts])
+        ys0 = jnp.ones((batch, problem.num_ineq), jnp.float32)
+        return problem, xs0, ys0
+
+    raise ValueError(
+        "chip_sweep supports NonnegPCA, StableIdentification and Rosenbrock, "
+        f"got {problem_name}"
+    )
 
 
 def measure_sweep(problem, xs0, ys0, option, max_steps, reps=(1, 5), tries=7,

@@ -21,9 +21,17 @@ import jax.numpy as jnp
 
 def solve_trs(A, a, radius, *, newton_iters=60):
     """Global solution of min 0.5 x^T A x + a^T x  s.t. ||x|| <= radius."""
-    dtype = A.dtype
-    n = A.shape[0]
     lam, Q = jnp.linalg.eigh(A)  # ascending
+    return solve_trs_eig(lam, Q, a, radius, newton_iters=newton_iters)
+
+
+def solve_trs_eig(lam, Q, a, radius, *, newton_iters=60):
+    """``solve_trs`` given a precomputed eigendecomposition A = Q diag(lam) Q^T
+    (ascending).  Callers that already hold the spectrum — e.g. RIPTRM's
+    exact mode, whose second-order criterion needs lam[0] of the same matrix
+    — avoid a second dense ``eigh`` per step."""
+    dtype = Q.dtype
+    n = Q.shape[0]
     b = Q.T @ a
     lam1 = lam[0]
     eps = jnp.finfo(dtype).eps

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from riptrm_tpu.ops.basis import materialize_symmetrized
 from riptrm_tpu.ops.kkt import evaluation
 from riptrm_tpu.ops.tcg import truncated_cg
-from riptrm_tpu.ops.trs import solve_trs
+from riptrm_tpu.ops.trs import solve_trs_eig
 from riptrm_tpu.solvers.base import (
     LogAccumulator,
     Output,
@@ -164,9 +164,14 @@ class RiptrmState(NamedTuple):
     inner_y0: jnp.ndarray
     inner_tr0: jnp.ndarray
     # Exact-mode cache of the materialized Hw / cx at the current point
-    # (reference ``is_RepMat_available`` machinery, RIPTRM.py:406-424,677-704)
+    # (reference ``is_RepMat_available`` machinery, RIPTRM.py:406-424,677-704).
+    # Cached in eigendecomposed form Hw = h_q diag(h_lam) h_q^T: the TRS
+    # solve, the second-order criterion and the TRS self-check all consume
+    # the spectrum, so caching (lam, Q) instead of the raw matrix removes a
+    # dense eigh per cache-hit step.
     cache_valid: jnp.ndarray
-    h_mat: jnp.ndarray  # [dim, dim]
+    h_lam: jnp.ndarray  # [dim] ascending eigenvalues
+    h_q: jnp.ndarray  # [dim, dim] eigenvectors (columns)
     c_vec: jnp.ndarray  # [dim]
 
 
@@ -234,8 +239,9 @@ def make_step(problem, option):
         basis = man.basis(x)
         c, hw, cx = _barrier_ops(problem, x, y, mu)
         h_mat = materialize_symmetrized(man, x, basis, hw)
+        h_lam, h_q = jnp.linalg.eigh(h_mat)
         c_vec = man.to_coords(x, basis, cx)
-        return h_mat, c_vec
+        return h_lam, h_q, c_vec
 
     def outer_update(mu):
         """Barrier parameter schedule (``RIPTRM.py:890-893``)."""
@@ -254,15 +260,15 @@ def make_step(problem, option):
 
         # ---- direction (RIPTRM.py:426-455) -----------------------------
         if exact:
-            h_mat, c_vec = jax.lax.cond(
+            h_lam, h_q, c_vec = jax.lax.cond(
                 state.cache_valid,
-                lambda: (state.h_mat, state.c_vec),
+                lambda: (state.h_lam, state.h_q, state.c_vec),
                 lambda: materialize_at(x, y, mu),
             )
             basis = man.basis(x)
-            coeff, lam1, trs_code = solve_trs(h_mat, c_vec, tr_radius)
+            coeff, lam1, trs_code = solve_trs_eig(h_lam, h_q, c_vec, tr_radius)
             dx = man.from_coords(x, basis, coeff)
-            hw_dx_dx = coeff @ (h_mat @ coeff)
+            hw_dx_dx = (h_q.T @ coeff) @ (h_lam * (h_q.T @ coeff))
             cx_dx = c_vec @ coeff
             dxtype = trs_code
         else:
@@ -289,21 +295,20 @@ def make_step(problem, option):
             hw_dx_dx = man.inner(x, dx, h_dx)
             cx_dx = man.inner(x, cx, dx)
             dxtype = 10 + tcg_code
-            h_mat, c_vec = state.h_mat, state.c_vec
+            h_lam, h_q, c_vec = state.h_lam, state.h_q, state.c_vec
 
         normdx = man.norm(x, dx)
 
         # ---- optional TRS optimality self-check (RIPTRM.py:367-388) ----
         trs_check = {}
         if option["checkTRSoptimality"]:
-            basis_c = man.basis(x)
-            hm = (
-                h_mat
-                if exact
-                else materialize_symmetrized(man, x, basis_c, hw)
-            )
-            w_ev = jnp.linalg.eigvalsh(hm)
-            mineig_hw, maxeig_hw = w_ev[0], w_ev[-1]
+            if exact:
+                mineig_hw, maxeig_hw = h_lam[0], h_lam[-1]
+            else:
+                basis_c = man.basis(x)
+                hm = materialize_symmetrized(man, x, basis_c, hw)
+                w_ev = jnp.linalg.eigvalsh(hm)
+                mineig_hw, maxeig_hw = w_ev[0], w_ev[-1]
             pred_chk = -0.5 * hw_dx_dx - cx_dx
             cx_norm = man.norm(x, cx)
             cauchy_diff = pred_chk - 0.5 * cx_norm * jnp.minimum(
@@ -316,7 +321,9 @@ def make_step(problem, option):
                 "TRS_mineig": mineig_hw,
             }
             if exact:
-                kkt_vec = hm @ coeff + lam1 * coeff + c_vec
+                kkt_vec = (
+                    h_q @ (h_lam * (h_q.T @ coeff)) + lam1 * coeff + c_vec
+                )
                 trs_check["TRS_KKTresid"] = jnp.linalg.norm(kkt_vec)
                 trs_check["TRS_compl"] = lam1 * (tr_radius - normdx)
 
@@ -335,8 +342,8 @@ def make_step(problem, option):
         crit_compl = compl <= ff_compl(mu)
 
         if exact and second_order:
-            h_mat_new, c_vec_new = materialize_at(x_new, y_new, mu)
-            mineig = jnp.linalg.eigvalsh(h_mat_new)[0]
+            h_lam_new, h_q_new, c_vec_new = materialize_at(x_new, y_new, mu)
+            mineig = h_lam_new[0]
             crit_eig = mineig >= -ff_second(mu)
         elif second_order:
             # Matrix-free second-order criterion for tCG mode: Lanczos Ritz
@@ -348,7 +355,7 @@ def make_step(problem, option):
             # ARPACK-``eigs`` spectra (``utils.py:417-475``).
             from riptrm_tpu.ops.spectrum import lanczos
 
-            h_mat_new, c_vec_new = h_mat, c_vec
+            h_lam_new, h_q_new, c_vec_new = h_lam, h_q, c_vec
             first_ok = xfeas & yfeas & crit_lag & crit_compl
             k_lan = min(option["second_order_lanczos_iters"], dim)
 
@@ -373,7 +380,7 @@ def make_step(problem, option):
             )
             crit_eig = mineig >= -ff_second(mu)
         else:
-            h_mat_new, c_vec_new = h_mat, c_vec
+            h_lam_new, h_q_new, c_vec_new = h_lam, h_q, c_vec
             mineig = jnp.asarray(jnp.nan, dtype=normdx.dtype)
             crit_eig = jnp.asarray(True)
 
@@ -461,11 +468,12 @@ def make_step(problem, option):
             reuse_new = (~infeasible) & accepted & (~dual_clipping) & second_order
             keep_old = infeasible | ((~converged) & (~accepted))
             cache_valid = keep_old | reuse_new
-            h_mat_next = jnp.where(reuse_new, h_mat_new, h_mat)
+            h_lam_next = jnp.where(reuse_new, h_lam_new, h_lam)
+            h_q_next = jnp.where(reuse_new, h_q_new, h_q)
             c_vec_next = jnp.where(reuse_new, c_vec_new, c_vec)
         else:
             cache_valid = jnp.asarray(False)
-            h_mat_next, c_vec_next = h_mat, c_vec
+            h_lam_next, h_q_next, c_vec_next = h_lam, h_q, c_vec
 
         inner_count = state.inner_count + 1
 
@@ -511,7 +519,8 @@ def make_step(problem, option):
             inner_y0=inner_y0,
             inner_tr0=inner_tr0,
             cache_valid=cache_valid,
-            h_mat=h_mat_next,
+            h_lam=h_lam_next,
+            h_q=h_q_next,
             c_vec=c_vec_next,
         )
 
@@ -605,7 +614,8 @@ def init_state(problem, option):
         inner_y0=y0,
         inner_tr0=tr0,
         cache_valid=jnp.asarray(False),
-        h_mat=jnp.zeros((dim, dim), dtype=dt),
+        h_lam=jnp.zeros((dim,), dtype=dt),
+        h_q=jnp.zeros((dim, dim), dtype=dt),
         c_vec=jnp.zeros((dim,), dtype=dt),
     )
 

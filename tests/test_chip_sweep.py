@@ -18,6 +18,17 @@ def test_build_sweep_stable_identification():
         assert np.isfinite(float(problem.manvio(x)))
 
 
+def test_build_sweep_rosenbrock():
+    problem, xs0, ys0 = build_sweep("Rosenbrock", 5, 3, seed=2)
+    assert xs0.shape == (3, 5, 3)  # Grassmann(5, 3) matrix points
+    assert ys0.shape == (3, problem.num_ineq)
+    for b in range(3):
+        x = np.asarray(xs0[b])
+        # on-manifold (orthonormal columns) and feasible starts
+        np.testing.assert_allclose(x.T @ x, np.eye(3), atol=1e-5)
+        assert np.all(np.asarray(problem.ineq_val(xs0[b])) < 0)
+
+
 def test_measure_sweep_nonneg_pca():
     problem, xs0, ys0 = build_sweep("NonnegPCA", 32, 2, seed=0)
     assert xs0.shape == (2, 32)
