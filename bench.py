@@ -70,7 +70,8 @@ def _install_deadline_handlers():
     def handler(signum, frame):
         RESULT["extras"]["truncated_by_signal"] = signum
         _emit()
-        os._exit(0)
+        # Mirror the exception path: success only if a headline was measured.
+        os._exit(0 if RESULT["value"] else 1)
 
     signal.signal(signal.SIGTERM, handler)
     signal.signal(signal.SIGALRM, handler)
@@ -355,17 +356,26 @@ def main():
 
     def make_repeat_solve(solve_fn, reps):
         def run(eps):
-            def body(carry, _):
+            def body(carry, i):
                 coupler, total = carry
                 st0 = state0._replace(x=state0.x + eps * coupler)
                 st, k = solve_fn(st0)
+                # Residual only on the final repetition: both the short and
+                # long chains pay exactly one, so it cancels in the marginal
+                # and the throughput metric stays comparable with earlier
+                # BENCH.md entries measured without it.
+                res = jax.lax.cond(
+                    i == reps - 1,
+                    lambda: compute_residual_final(st).astype(jnp.float32),
+                    lambda: jnp.float32(0),
+                )
                 return (st.mu.astype(jnp.float32), total + k), (
                     st.outer_iter,
                     k,
-                    compute_residual_final(st),
+                    res,
                 )
             (_, total), (outers, ks, resids) = jax.lax.scan(
-                body, (jnp.float32(0), jnp.int32(0)), None, length=reps
+                body, (jnp.float32(0), jnp.int32(0)), jnp.arange(reps)
             )
             return total, outers[-1], ks[-1], resids[-1]
         return jax.jit(run)

@@ -22,10 +22,21 @@ import jax
 import numpy as np
 
 
+def _leaf_names(tree: Any):
+    """Stable per-leaf archive keys from the pytree key path (e.g.
+    ``leaf.x``, ``leaf.h_lam``), so checkpoints key fields by NAME: adding
+    or reordering state fields (as solver refactors do) cannot silently
+    misalign a resume — a missing field fails loudly instead."""
+    paths_leaves, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return [
+        "leaf" + jax.tree_util.keystr(kp) for kp, _ in paths_leaves
+    ], [l for _, l in paths_leaves]
+
+
 def save_state(path: str, state: Any, meta: Optional[dict] = None) -> None:
     """Atomically persist a solver-state pytree + metadata."""
-    leaves, treedef = jax.tree.flatten(state)
-    arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    names, leaves = _leaf_names(state)
+    arrays = {n: np.asarray(l) for n, l in zip(names, leaves)}
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     dir_ = os.path.dirname(path) or "."
     fd, tmp = tempfile.mkstemp(dir=dir_, suffix=".tmp")
@@ -43,11 +54,18 @@ def save_state(path: str, state: Any, meta: Optional[dict] = None) -> None:
 
 def load_state(path: str, template: Any) -> Tuple[Any, dict]:
     """Restore a solver-state pytree using ``template`` for the structure."""
-    leaves, treedef = jax.tree.flatten(template)
+    names, leaves = _leaf_names(template)
+    _, treedef = jax.tree.flatten(template)
     with np.load(path) as data:
+        missing = [n for n in names if n not in data]
+        if missing:
+            raise ValueError(
+                f"checkpoint {path} lacks field(s) {missing}: it was saved "
+                "by a different solver-state layout and cannot be resumed"
+            )
         new_leaves = [
-            np.asarray(data[f"leaf_{i}"], dtype=np.asarray(l).dtype)
-            for i, l in enumerate(leaves)
+            np.asarray(data[n], dtype=np.asarray(l).dtype)
+            for n, l in zip(names, leaves)
         ]
     state = jax.tree.unflatten(treedef, new_leaves)
     meta_path = path + ".meta.json"

@@ -107,7 +107,12 @@ def build_sweep(problem_name: str, size: int, batch: int, seed: int = 0):
         from riptrm_tpu.problems import rosenbrock
 
         n = size
-        k = min(3, n - 1) if n > 1 else 1
+        if n < 2:
+            raise ValueError(
+                "Rosenbrock needs --size >= 2 (Grassmann(n, k) with k < n "
+                "has dimension k*(n-k) = 0 otherwise)"
+            )
+        k = min(3, n - 1)
         problem = rosenbrock.make_problem(n, k, dtype=jnp.float32)
         # The reference's Rosenbrock start is the single deterministic
         # |I[:, :k]| (coordinator.py:78-84); the sweep batches small
@@ -132,7 +137,12 @@ def build_sweep(problem_name: str, size: int, batch: int, seed: int = 0):
 
 def measure_sweep(problem, xs0, ys0, option, max_steps, reps=(1, 5), tries=7,
                   solver="RIPTRM"):
-    """Marginal-rate throughput of the batched compiled solver sweep."""
+    """Marginal-rate throughput of the batched compiled solver sweep.
+
+    Returns (sec_per_sweep, residuals, compile_s, k_avg) with k_avg the
+    repetition-averaged max inner-step count per sweep.  Shared harness for
+    the chip-sweep CLI and the sweep tests (bench.py carries its own copy
+    tuned to its deadline/emit machinery)."""
     import jax
     import jax.numpy as jnp
 
@@ -170,8 +180,9 @@ def measure_sweep(problem, xs0, ys0, option, max_steps, reps=(1, 5), tries=7,
     f_short, f_long = make_repeat(reps[0]), make_repeat(reps[1])
     t0 = time.time()
     f_short(zero)
-    _, res = f_long(zero)
+    tot_l, res = f_long(zero)
     res_host = np.asarray(res)
+    k_avg = float(tot_l) / reps[1]
     compile_s = time.time() - t0
 
     def timed(f):
@@ -184,7 +195,7 @@ def measure_sweep(problem, xs0, ys0, option, max_steps, reps=(1, 5), tries=7,
 
     dt = max(timed(f_long) - timed(f_short), 2e-3)
     per_sweep = dt / (reps[1] - reps[0])
-    return per_sweep, res_host, compile_s
+    return per_sweep, res_host, compile_s, k_avg
 
 
 def main(argv=None):
@@ -224,7 +235,7 @@ def main(argv=None):
         "forcing_function_Lagrangian": lambda mu: jnp.maximum(mu, 1e-4),
         "forcing_function_complementarity": lambda mu: jnp.maximum(1e-3 * mu, 2e-4),
     }
-    per_sweep, res, compile_s = measure_sweep(
+    per_sweep, res, compile_s, _ = measure_sweep(
         problem, xs0, ys0, option, max_steps=args.max_steps, solver=args.solver
     )
     print(

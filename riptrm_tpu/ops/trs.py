@@ -22,14 +22,17 @@ import jax.numpy as jnp
 def solve_trs(A, a, radius, *, newton_iters=60):
     """Global solution of min 0.5 x^T A x + a^T x  s.t. ||x|| <= radius."""
     lam, Q = jnp.linalg.eigh(A)  # ascending
-    return solve_trs_eig(lam, Q, a, radius, newton_iters=newton_iters)
+    x, lam_out, code, _ = solve_trs_eig(lam, Q, a, radius, newton_iters=newton_iters)
+    return x, lam_out, code
 
 
 def solve_trs_eig(lam, Q, a, radius, *, newton_iters=60):
     """``solve_trs`` given a precomputed eigendecomposition A = Q diag(lam) Q^T
     (ascending).  Callers that already hold the spectrum — e.g. RIPTRM's
     exact mode, whose second-order criterion needs lam[0] of the same matrix
-    — avoid a second dense ``eigh`` per step."""
+    — avoid a second dense ``eigh`` per step.  Additionally returns the
+    solution's eigenbasis coordinates p_c (x = Q @ p_c), from which the
+    model terms x'Ax = p_c'(lam*p_c) and A x = Q (lam*p_c) come for free."""
     dtype = Q.dtype
     n = Q.shape[0]
     b = Q.T @ a
@@ -90,4 +93,4 @@ def solve_trs_eig(lam, Q, a, radius, *, newton_iters=60):
     lam_out = jnp.where(interior_ok, 0.0, jnp.where(hard, -lam1, sig))
     code = jnp.where(interior_ok, 0, jnp.where(hard, 2, 1))
     x = Q @ p_c
-    return x, lam_out, code
+    return x, lam_out, code, p_c

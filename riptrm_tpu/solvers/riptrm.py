@@ -266,9 +266,9 @@ def make_step(problem, option):
                 lambda: materialize_at(x, y, mu),
             )
             basis = man.basis(x)
-            coeff, lam1, trs_code = solve_trs_eig(h_lam, h_q, c_vec, tr_radius)
+            coeff, lam1, trs_code, p_c = solve_trs_eig(h_lam, h_q, c_vec, tr_radius)
             dx = man.from_coords(x, basis, coeff)
-            hw_dx_dx = (h_q.T @ coeff) @ (h_lam * (h_q.T @ coeff))
+            hw_dx_dx = p_c @ (h_lam * p_c)
             cx_dx = c_vec @ coeff
             dxtype = trs_code
         else:
@@ -321,9 +321,7 @@ def make_step(problem, option):
                 "TRS_mineig": mineig_hw,
             }
             if exact:
-                kkt_vec = (
-                    h_q @ (h_lam * (h_q.T @ coeff)) + lam1 * coeff + c_vec
-                )
+                kkt_vec = h_q @ (h_lam * p_c) + lam1 * coeff + c_vec
                 trs_check["TRS_KKTresid"] = jnp.linalg.norm(kkt_vec)
                 trs_check["TRS_compl"] = lam1 * (tr_radius - normdx)
 

@@ -40,7 +40,7 @@ def test_measure_sweep_nonneg_pca():
         "forcing_function_Lagrangian": lambda mu: jnp.maximum(mu, 1e-4),
         "forcing_function_complementarity": lambda mu: jnp.maximum(1e-3 * mu, 2e-4),
     }
-    per_sweep, res, _ = measure_sweep(
+    per_sweep, res, _, k_avg = measure_sweep(
         problem, xs0, ys0, option, max_steps=150, reps=(1, 2), tries=1
     )
     assert per_sweep > 0
