@@ -211,6 +211,10 @@ def main(argv=None):
                              "(sphere-quadratic structure only)")
     parser.add_argument("--solver", default="RIPTRM",
                         choices=["RIPTRM", "RIPM", "RSQO", "RALM"])
+    parser.add_argument("--exact", action="store_true",
+                        help="RIPTRM exact mode: per-lane Hw materialization "
+                             "+ batched-eigh TRS with the in-loop "
+                             "second-order stationarity criterion")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -228,13 +232,17 @@ def main(argv=None):
     option = {
         "maxiter": 60,
         "tolresid": args.tolresid,
-        "TRS_solver": "tCG",
-        "second_order_stationarity": False,
+        "TRS_solver": "Exact_RepMat" if args.exact else "tCG",
+        "second_order_stationarity": args.exact,
         "use_pallas_tcg": args.pallas,
         # f32 forcing floors (BENCH.md precision notes)
         "forcing_function_Lagrangian": lambda mu: jnp.maximum(mu, 1e-4),
         "forcing_function_complementarity": lambda mu: jnp.maximum(1e-3 * mu, 2e-4),
     }
+    if args.exact:
+        option["forcing_function_second_order"] = (
+            lambda mu: jnp.maximum(mu, 1e-4)
+        )
     per_sweep, res, compile_s, _ = measure_sweep(
         problem, xs0, ys0, option, max_steps=args.max_steps, solver=args.solver
     )
@@ -245,6 +253,7 @@ def main(argv=None):
                 "size": args.size,
                 "batch": args.batch,
                 "solver": args.solver,
+                "mode": "exact" if args.exact else "tCG",
                 "solves_per_sec": round(args.batch / per_sweep, 2),
                 "sweep_ms": round(per_sweep * 1e3, 3),
                 "median_residual": float(np.median(res)),

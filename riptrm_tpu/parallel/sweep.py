@@ -16,6 +16,8 @@ TPU-native equivalent: the sweep axes become a *batch axis* —
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -264,3 +266,128 @@ def run_sweep(problem, option, xs0, ys0, *, max_steps=2000, mesh=None, axis="dp"
         return states.x, states.y, ks, res
     fn = sharded_riptrm_solve(problem, option, max_steps, mesh, axis)
     return fn(xs0, ys0)
+
+
+def make_segment_solver(problem, option, segment_steps: int):
+    """One checkpointable SEGMENT of a batched RIPTRM sweep.
+
+    Returns a jitted fn (states, done) -> (states, ks, res, done) running at
+    most ``segment_steps`` further inner steps per lane.  Lanes flagged
+    ``done`` are frozen (their state passes through untouched, ks = 0);
+    a lane whose compiled solve exits before exhausting the segment budget
+    has hit its own stopping criterion and is flagged done for the next
+    segment.  ``solve_compiled`` resumes from any state (outer_iter / mu /
+    trust region are all in the carry), so segments compose exactly.
+    """
+    solver = RIPTRM(option)
+    _warn_vmapped_lanczos(solver.option)
+    solve = solver.solve_compiled(problem, segment_steps)
+
+    def one(state, done):
+        new_state, k = solve(state)
+        out = jax.tree.map(
+            lambda old, new: jnp.where(done, old, new), state, new_state
+        )
+        k = jnp.where(done, 0, k)
+        res = compute_residual(problem, out.x, out.y, jnp.zeros((0,)))[0]
+        new_done = done | (k < segment_steps)
+        return out, k, res, new_done
+
+    return jax.jit(jax.vmap(one))
+
+
+def run_sweep_checkpointed(
+    problem,
+    option,
+    xs0,
+    ys0,
+    *,
+    max_steps=2000,
+    segment_steps=500,
+    checkpoint_path=None,
+    mesh=None,
+    axis="dp",
+    meta=None,
+    on_segment=None,
+):
+    """Fault-tolerant batched sweep: the full batched solver state is
+    checkpointed after every ``segment_steps``-step segment, and a rerun
+    with the same ``checkpoint_path`` resumes from the last completed
+    segment instead of restarting (the reference loses everything on a
+    kill — its only persistence is the final Output, SURVEY §5
+    "Checkpoint / resume: None").
+
+    With ``mesh``, the batch axis is sharded over ``axis`` via
+    ``NamedSharding`` and jit partitions each segment across the devices;
+    checkpoints are written from the gathered host copy, so a resume may
+    use a different device count than the crashed run.
+
+    Returns (x_final, y_final, total_steps, residuals).
+    ``on_segment(segment_idx, total_steps, res, done)`` is an optional host
+    callback after each segment (progress logging).
+    """
+    from riptrm_tpu.experiment.checkpoint import load_state, save_state
+
+    xs0 = jnp.asarray(xs0)
+    ys0 = jnp.asarray(ys0)
+    solver = RIPTRM(option)
+    batch = ys0.shape[0]
+
+    states0 = jax.vmap(
+        lambda x0, y0: init_state_from(problem, solver.option, x0, y0)
+    )(xs0, ys0)
+    carry0 = {
+        "state": states0,
+        "done": jnp.zeros((batch,), bool),
+        "ks": jnp.zeros((batch,), jnp.int32),
+    }
+
+    carry, start_meta = carry0, {}
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        carry, start_meta = load_state(checkpoint_path, carry0)
+        ckpt_seg = start_meta.get("segment_steps", segment_steps)
+        if ckpt_seg != segment_steps:
+            raise ValueError(
+                f"checkpoint {checkpoint_path} was written with "
+                f"segment_steps={ckpt_seg}; resume with the same value "
+                f"(got {segment_steps}) so the step budget stays exact"
+            )
+    steps_done = int(start_meta.get("segments_done", 0)) * segment_steps
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+
+        # Every carry leaf is per-lane with the batch axis leading.
+        carry = jax.device_put(
+            carry,
+            jax.tree.map(
+                lambda leaf: NamedSharding(
+                    mesh, P(axis, *([None] * (jnp.ndim(leaf) - 1)))
+                ),
+                carry,
+            ),
+        )
+
+    seg = make_segment_solver(problem, option, segment_steps)
+
+    res = jax.vmap(
+        lambda st: compute_residual(problem, st.x, st.y, jnp.zeros((0,)))[0]
+    )(carry["state"])
+    n_seg = int(start_meta.get("segments_done", 0))
+    while steps_done < max_steps and not bool(jnp.all(carry["done"])):
+        states, ks, res, done = seg(carry["state"], carry["done"])
+        carry = {"state": states, "done": done, "ks": carry["ks"] + ks}
+        steps_done += segment_steps
+        n_seg += 1
+        if checkpoint_path is not None:
+            save_state(
+                checkpoint_path,
+                jax.device_get(carry),
+                dict(meta or {}, segments_done=n_seg,
+                     segment_steps=segment_steps),
+            )
+        if on_segment is not None:
+            on_segment(n_seg, steps_done, np.asarray(res), np.asarray(done))
+
+    st = carry["state"]
+    return st.x, st.y, carry["ks"], res

@@ -170,3 +170,102 @@ def test_batched_sweep_lanczos_warning(setup):
             max_steps=10,
         )
     assert any("Lanczos second-order check" in str(w.message) for w in rec)
+
+
+def test_vmapped_exact_second_order_sweep(setup):
+    """Batched EXACT-mode solves: each lane materializes Hw in its own
+    tangent basis and runs the More-Sorensen TRS off one batched eigh —
+    the in-loop second-order criterion (lam_min >= -tol_2nd) included."""
+    problem, xs, ys = setup
+    option = OPTION | {
+        "TRS_solver": "Exact_RepMat",
+        "second_order_stationarity": True,
+        "maxiter": 200,
+        "tolresid": 1e-6,
+    }
+    fn = batched_riptrm_solve(problem, option, max_steps=400)
+    states, ks, res = jax.jit(fn)(xs, ys)
+    assert np.all(np.asarray(res) < 1e-6)
+    assert np.all(np.asarray(ks) < 400)  # converged, not budget-exhausted
+    xnorms = np.linalg.norm(np.asarray(states.x), axis=1)
+    np.testing.assert_allclose(xnorms, 1.0, atol=1e-10)
+
+
+def test_checkpointed_sweep_resume(setup, tmp_path):
+    """Segmented sweep with checkpointing: killing after the first segment
+    and rerunning from the checkpoint reproduces the uninterrupted sweep
+    (SURVEY §2.3 elasticity row: checkpoint-based restart of sweep shards)."""
+    from riptrm_tpu.parallel.sweep import run_sweep_checkpointed
+
+    problem, xs, ys = setup
+    option = OPTION | {"tolresid": 1e-6, "maxiter": 30}
+    ckpt = str(tmp_path / "sweep.npz")
+
+    # uninterrupted run, no checkpointing
+    x_ref, y_ref, ks_ref, res_ref = run_sweep_checkpointed(
+        problem, option, xs, ys, max_steps=300, segment_steps=20
+    )
+    assert np.all(np.asarray(res_ref) < 1e-6)
+
+    # "crashed" run: stop (raise) after the first segment's checkpoint
+    class Kill(Exception):
+        pass
+
+    def killer(n_seg, steps, res, done):
+        if n_seg == 1:
+            raise Kill
+
+    with pytest.raises(Kill):
+        run_sweep_checkpointed(
+            problem, option, xs, ys, max_steps=300, segment_steps=20,
+            checkpoint_path=ckpt, on_segment=killer,
+        )
+
+    # resume: picks up at segment 2 and finishes
+    segs = []
+    x2, y2, ks2, res2 = run_sweep_checkpointed(
+        problem, option, xs, ys, max_steps=300, segment_steps=20,
+        checkpoint_path=ckpt,
+        on_segment=lambda n, s, r, d: segs.append(n),
+    )
+    assert segs[0] == 2  # resumed, not restarted
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x_ref), atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(ks2), np.asarray(ks_ref))
+    np.testing.assert_allclose(np.asarray(res2), np.asarray(res_ref), rtol=1e-6)
+
+    # wrong segment size on resume fails loudly
+    with pytest.raises(ValueError, match="segment_steps"):
+        run_sweep_checkpointed(
+            problem, option, xs, ys, max_steps=300, segment_steps=30,
+            checkpoint_path=ckpt,
+        )
+
+
+def test_checkpointed_sweep_sharded(setup, tmp_path):
+    """Checkpointed sweep over a dp mesh: segments run sharded, and a
+    resume works on a DIFFERENT device count (host-gathered checkpoints)."""
+    from riptrm_tpu.parallel.sweep import make_mesh, run_sweep_checkpointed
+
+    problem, xs, ys = setup
+    option = OPTION | {"tolresid": 1e-6, "maxiter": 30}
+    ckpt = str(tmp_path / "sweep_dp.npz")
+    mesh8 = make_mesh({"dp": 8})
+
+    class Kill(Exception):
+        pass
+
+    def killer(n_seg, steps, res, done):
+        if n_seg == 1:
+            raise Kill
+
+    with pytest.raises(Kill):
+        run_sweep_checkpointed(
+            problem, option, xs, ys, max_steps=300, segment_steps=20,
+            checkpoint_path=ckpt, mesh=mesh8, on_segment=killer,
+        )
+    mesh4 = make_mesh({"dp": 4})
+    x2, y2, ks2, res2 = run_sweep_checkpointed(
+        problem, option, xs, ys, max_steps=300, segment_steps=20,
+        checkpoint_path=ckpt, mesh=mesh4,
+    )
+    assert np.all(np.asarray(res2) < 1e-6)
