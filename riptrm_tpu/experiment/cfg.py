@@ -131,6 +131,11 @@ def sweep_configs(path: str, overrides: List[str] | None = None) -> List[Config]
         k, v = ov.split("=", 1)
         if "," in v and not v.strip().startswith("["):
             params[k] = [_parse_scalar(x) for x in v.split(",")]
+        elif k in params:
+            # Single-value override of a sweep axis PINS it (Hydra
+            # semantics): without this the per-combo set_path would clobber
+            # the override with every sweep value.
+            params[k] = [_parse_scalar(v)]
         else:
             scalar_overrides.append(ov)
 

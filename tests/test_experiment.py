@@ -60,6 +60,19 @@ def test_sweep_cli_override_axis(tmp_path):
     assert len(cfgs) == 3
 
 
+def test_sweep_single_value_pins_axis(tmp_path):
+    """A single-value CLI override of a sweep axis pins it to that value
+    (Hydra semantics) instead of being clobbered by the sweep expansion."""
+    p = tmp_path / "c.yaml"
+    p.write_text(
+        "problem_name: X\nsweeper:\n  params:\n    pt: a,b,c\n    inst: 1,2\n"
+    )
+    cfgs = sweep_configs(str(p), ["pt=b"])
+    assert len(cfgs) == 2
+    assert all(c.pt == "b" for c in cfgs)
+    assert sorted(c.inst for c in cfgs) == [1, 2]
+
+
 def test_solver_option_merge():
     cfg = load_config("configs/NonnegPCA/config_simulation.yaml")
     opt = solver_options_from_cfg(cfg, "RIPTRM")
