@@ -33,23 +33,42 @@ def _leaf_names(tree: Any):
     ], [l for _, l in paths_leaves]
 
 
-def save_state(path: str, state: Any, meta: Optional[dict] = None) -> None:
-    """Atomically persist a solver-state pytree + metadata."""
-    names, leaves = _leaf_names(state)
-    arrays = {n: np.asarray(l) for n, l in zip(names, leaves)}
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+def _atomic_write(path: str, write_fn) -> None:
     dir_ = os.path.dirname(path) or "."
     fd, tmp = tempfile.mkstemp(dir=dir_, suffix=".tmp")
     os.close(fd)
     try:
-        with open(tmp, "wb") as f:
-            np.savez(f, **arrays)
+        write_fn(tmp)
         os.replace(tmp, path)
     finally:
         if os.path.exists(tmp):
             os.remove(tmp)
-    with open(path + ".meta.json", "w") as f:
-        json.dump(meta or {}, f)
+
+
+def save_state(path: str, state: Any, meta: Optional[dict] = None) -> None:
+    """Atomically persist a solver-state pytree + metadata.
+
+    Metadata is embedded INSIDE the npz (key ``__meta__``), so state and
+    meta are one atomic ``os.replace`` — a kill cannot leave a new state
+    with stale or torn meta (resume accounting depends on it).  A sidecar
+    ``.meta.json`` is also written (atomically) for human inspection only.
+    """
+    names, leaves = _leaf_names(state)
+    arrays = {n: np.asarray(l) for n, l in zip(names, leaves)}
+    arrays["__meta__"] = np.asarray(json.dumps(meta or {}))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def write_npz(tmp):
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+
+    _atomic_write(path, write_npz)
+
+    def write_meta(tmp):
+        with open(tmp, "w") as f:
+            json.dump(meta or {}, f)
+
+    _atomic_write(path + ".meta.json", write_meta)
 
 
 def load_state(path: str, template: Any) -> Tuple[Any, dict]:
@@ -59,20 +78,35 @@ def load_state(path: str, template: Any) -> Tuple[Any, dict]:
     with np.load(path) as data:
         missing = [n for n in names if n not in data]
         if missing:
-            raise ValueError(
-                f"checkpoint {path} lacks field(s) {missing}: it was saved "
-                "by a different solver-state layout and cannot be resumed"
+            # Pre-name-keying checkpoints used positional leaf_<i> keys;
+            # load them positionally when the leaf count matches exactly.
+            old = [f"leaf_{i}" for i in range(len(leaves))]
+            n_old = sum(
+                1 for k in data.files
+                if k.startswith("leaf_") and k[len("leaf_"):].isdigit()
             )
+            if all(k in data for k in old) and n_old == len(old):
+                names = old
+            else:
+                raise ValueError(
+                    f"checkpoint {path} lacks field(s) {missing}: it was "
+                    "saved by a different solver-state layout and cannot "
+                    "be resumed"
+                )
         new_leaves = [
             np.asarray(data[n], dtype=np.asarray(l).dtype)
             for n, l in zip(names, leaves)
         ]
+        meta = (
+            json.loads(str(data["__meta__"])) if "__meta__" in data else None
+        )
     state = jax.tree.unflatten(treedef, new_leaves)
-    meta_path = path + ".meta.json"
-    meta = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
+    if meta is None:  # legacy checkpoint: meta only in the sidecar
+        meta_path = path + ".meta.json"
+        meta = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
     return state, meta
 
 

@@ -217,6 +217,11 @@ def main(argv=None):
                              "second-order stationarity criterion")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
+    if args.exact and args.pallas:
+        parser.error(
+            "--pallas applies to the tCG subproblem only; the exact mode "
+            "solves the TRS by eigendecomposition (no kernel to route to)"
+        )
 
     import jax
 

@@ -274,23 +274,24 @@ def make_segment_solver(problem, option, segment_steps: int):
     Returns a jitted fn (states, done) -> (states, ks, res, done) running at
     most ``segment_steps`` further inner steps per lane.  Lanes flagged
     ``done`` are frozen (their state passes through untouched, ks = 0);
-    a lane whose compiled solve exits before exhausting the segment budget
-    has hit its own stopping criterion and is flagged done for the next
-    segment.  ``solve_compiled`` resumes from any state (outer_iter / mu /
-    trust region are all in the carry), so segments compose exactly.
+    done-ness of the others comes from the compiled solve's own internal
+    stop flag (NOT from k < segment_steps, which is ambiguous for a lane
+    converging exactly on the segment's last step).  ``solve_compiled``
+    resumes from any state (outer_iter / mu / trust region are all in the
+    carry), so segments compose exactly.
     """
     solver = RIPTRM(option)
     _warn_vmapped_lanczos(solver.option)
-    solve = solver.solve_compiled(problem, segment_steps)
+    solve = solver.solve_compiled(problem, segment_steps, return_done=True)
 
     def one(state, done):
-        new_state, k = solve(state)
+        new_state, k, stopped = solve(state)
         out = jax.tree.map(
             lambda old, new: jnp.where(done, old, new), state, new_state
         )
         k = jnp.where(done, 0, k)
         res = compute_residual(problem, out.x, out.y, jnp.zeros((0,)))[0]
-        new_done = done | (k < segment_steps)
+        new_done = done | stopped
         return out, k, res, new_done
 
     return jax.jit(jax.vmap(one))
@@ -345,14 +346,10 @@ def run_sweep_checkpointed(
     carry, start_meta = carry0, {}
     if checkpoint_path is not None and os.path.exists(checkpoint_path):
         carry, start_meta = load_state(checkpoint_path, carry0)
-        ckpt_seg = start_meta.get("segment_steps", segment_steps)
-        if ckpt_seg != segment_steps:
-            raise ValueError(
-                f"checkpoint {checkpoint_path} was written with "
-                f"segment_steps={ckpt_seg}; resume with the same value "
-                f"(got {segment_steps}) so the step budget stays exact"
-            )
-    steps_done = int(start_meta.get("segments_done", 0)) * segment_steps
+    # Budget accounting rides on exact steps_done (recorded in the
+    # checkpoint meta), so a resume may use a different segment_steps.
+    steps_done = int(start_meta.get("steps_done", 0))
+    n_seg = int(start_meta.get("segments_done", 0))
 
     if mesh is not None:
         from jax.sharding import NamedSharding
@@ -368,26 +365,38 @@ def run_sweep_checkpointed(
             ),
         )
 
-    seg = make_segment_solver(problem, option, segment_steps)
+    # The final segment is truncated so max_steps is exact, not rounded up
+    # to a segment boundary; at most two distinct lengths compile.
+    segments = {}
 
-    res = jax.vmap(
-        lambda st: compute_residual(problem, st.x, st.y, jnp.zeros((0,)))[0]
-    )(carry["state"])
-    n_seg = int(start_meta.get("segments_done", 0))
+    def seg_fn(length):
+        if length not in segments:
+            segments[length] = make_segment_solver(problem, option, length)
+        return segments[length]
+
+    res = None
     while steps_done < max_steps and not bool(jnp.all(carry["done"])):
-        states, ks, res, done = seg(carry["state"], carry["done"])
+        length = min(segment_steps, max_steps - steps_done)
+        states, ks, res, done = seg_fn(length)(carry["state"], carry["done"])
         carry = {"state": states, "done": done, "ks": carry["ks"] + ks}
-        steps_done += segment_steps
+        steps_done += length
         n_seg += 1
         if checkpoint_path is not None:
             save_state(
                 checkpoint_path,
                 jax.device_get(carry),
-                dict(meta or {}, segments_done=n_seg,
-                     segment_steps=segment_steps),
+                dict(meta or {}, segments_done=n_seg, steps_done=steps_done),
             )
         if on_segment is not None:
             on_segment(n_seg, steps_done, np.asarray(res), np.asarray(done))
 
+    if res is None:  # resumed already-finished (or zero-budget) sweep
+        res = jax.jit(
+            jax.vmap(
+                lambda st: compute_residual(
+                    problem, st.x, st.y, jnp.zeros((0,))
+                )[0]
+            )
+        )(carry["state"])
     st = carry["state"]
     return st.x, st.y, carry["ks"], res

@@ -823,10 +823,14 @@ class RIPTRM:
         return out
 
     # ------------------------------------------------------------------
-    def solve_compiled(self, problem, max_steps: int):
+    def solve_compiled(self, problem, max_steps: int, return_done: bool = False):
         """Fully-compiled fixed-budget solve (lax.while_loop) for vmapped /
         sharded sweeps and benchmarks.  Returns the final state and the
-        number of inner steps executed."""
+        number of inner steps executed; with ``return_done`` also the
+        internal stop flag, which distinguishes "hit its stopping criterion"
+        from "exhausted max_steps" — segmented (checkpointed) sweeps need
+        this to compose segments exactly (a lane can converge precisely on
+        a segment's last step, where k alone is ambiguous)."""
         option = self.option
         step = make_step(problem, option)
         tolresid = option["tolresid"]
@@ -851,10 +855,10 @@ class RIPTRM:
             return (state_out, k + jnp.where(done, 0, 1), new_done)
 
         def solve(state):
-            state, k, _ = jax.lax.while_loop(
+            state, k, done = jax.lax.while_loop(
                 cond, body, (state, jnp.asarray(0), jnp.asarray(False))
             )
-            return state, k
+            return (state, k, done) if return_done else (state, k)
 
         return solve
 

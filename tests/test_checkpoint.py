@@ -57,3 +57,49 @@ def test_job_done_marker(tmp_path):
     assert not job_is_done(str(tmp_path), "X")
     (tmp_path / "X_log.csv").write_text("iteration\n0\n")
     assert job_is_done(str(tmp_path), "X")
+
+
+def test_load_legacy_positional_checkpoint(tmp_path):
+    """Checkpoints written by the pre-name-keying format (leaf_<i> keys,
+    meta in the sidecar only) still load."""
+    import json
+
+    import jax
+
+    from riptrm_tpu.experiment.checkpoint import load_state
+
+    tmpl = {"a": np.zeros(3), "b": np.zeros((2, 2))}
+    leaves = jax.tree.leaves({"a": np.arange(3.0), "b": np.eye(2)})
+    path = str(tmp_path / "old.npz")
+    np.savez(path, **{f"leaf_{i}": l for i, l in enumerate(leaves)})
+    with open(path + ".meta.json", "w") as f:
+        json.dump({"k": 7}, f)
+    state, meta = load_state(path, tmpl)
+    np.testing.assert_array_equal(state["a"], np.arange(3.0))
+    np.testing.assert_array_equal(state["b"], np.eye(2))
+    assert meta == {"k": 7}
+
+
+def test_load_state_rejects_layout_mismatch(tmp_path):
+    import pytest
+
+    from riptrm_tpu.experiment.checkpoint import load_state, save_state
+
+    path = str(tmp_path / "s.npz")
+    save_state(path, {"a": np.zeros(3)}, {"k": 1})
+    with pytest.raises(ValueError, match="lacks field"):
+        load_state(path, {"other": np.zeros(3)})
+
+
+def test_meta_embedded_in_archive(tmp_path):
+    """State + meta are one atomic file: meta round-trips even if the
+    sidecar .meta.json is deleted (or was torn by a kill)."""
+    import os
+
+    from riptrm_tpu.experiment.checkpoint import load_state, save_state
+
+    path = str(tmp_path / "s.npz")
+    save_state(path, {"a": np.arange(4.0)}, {"steps_done": 40})
+    os.remove(path + ".meta.json")
+    state, meta = load_state(path, {"a": np.zeros(4)})
+    assert meta == {"steps_done": 40}

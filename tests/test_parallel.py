@@ -233,11 +233,48 @@ def test_checkpointed_sweep_resume(setup, tmp_path):
     np.testing.assert_array_equal(np.asarray(ks2), np.asarray(ks_ref))
     np.testing.assert_allclose(np.asarray(res2), np.asarray(res_ref), rtol=1e-6)
 
-    # wrong segment size on resume fails loudly
-    with pytest.raises(ValueError, match="segment_steps"):
-        run_sweep_checkpointed(
-            problem, option, xs, ys, max_steps=300, segment_steps=30,
-            checkpoint_path=ckpt,
+    # resuming a FINISHED sweep is a no-op returning the same answer
+    x3, y3, ks3, res3 = run_sweep_checkpointed(
+        problem, option, xs, ys, max_steps=300, segment_steps=20,
+        checkpoint_path=ckpt,
+    )
+    np.testing.assert_allclose(np.asarray(x3), np.asarray(x_ref), atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(ks3), np.asarray(ks_ref))
+
+
+def test_checkpointed_sweep_exact_budget_and_segment_boundary(setup, tmp_path):
+    """Step budgets are exact: segmentation must not overshoot max_steps,
+    and any segment size must reproduce the unsegmented solve exactly —
+    including lanes whose stopping criterion fires precisely on a
+    segment's last step (the solve's internal done flag, not k <
+    segment_steps, decides done-ness)."""
+    from riptrm_tpu.parallel.sweep import run_sweep_checkpointed
+
+    problem, xs, ys = setup
+    option = OPTION | {"tolresid": 1e-6, "maxiter": 30}
+
+    # truncated final segment: 50-step budget with 20-step segments
+    _, _, ks, _ = run_sweep_checkpointed(
+        problem, option, xs, ys, max_steps=50, segment_steps=20
+    )
+    assert np.max(np.asarray(ks)) == 50  # not rounded up to 60
+
+    x_ref, y_ref, ks_ref, res_ref = run_sweep_checkpointed(
+        problem, option, xs, ys, max_steps=300, segment_steps=300
+    )
+    # segment=1 makes EVERY lane's stop land exactly on a segment
+    # boundary (the ambiguous k == segment_steps case); 20/23 exercise
+    # mixed interior/boundary stops
+    for seg in (1, 20, 23):
+        x2, _, ks2, _ = run_sweep_checkpointed(
+            problem, option, xs, ys, max_steps=300, segment_steps=seg
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ks2), np.asarray(ks_ref), err_msg=f"segment={seg}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(x2), np.asarray(x_ref), atol=1e-12,
+            err_msg=f"segment={seg}",
         )
 
 
