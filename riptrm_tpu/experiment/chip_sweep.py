@@ -205,6 +205,8 @@ def main(argv=None):
                         help="n for NonnegPCA, d for StableIdentification")
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--max-steps", type=int, default=400)
+    parser.add_argument("--maxiter", type=int, default=60,
+                        help="outer-iteration cap per lane")
     parser.add_argument("--tolresid", type=float, default=3e-4)
     parser.add_argument("--pallas", action="store_true",
                         help="route tCG through the fused Pallas kernel "
@@ -235,7 +237,7 @@ def main(argv=None):
     gen_s = time.time() - t0
 
     option = {
-        "maxiter": 60,
+        "maxiter": args.maxiter,
         "tolresid": args.tolresid,
         "TRS_solver": "Exact_RepMat" if args.exact else "tCG",
         "second_order_stationarity": args.exact,

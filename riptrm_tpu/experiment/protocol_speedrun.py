@@ -1,0 +1,160 @@
+"""Time-to-reference-target speedrun of the full paper protocol.
+
+The reference evaluates each (problem, instance, initial point, solver) job
+as the minimum KKT residual reached within a 240 s budget (SURVEY §6;
+BASELINE.md).  This CLI measures how fast the batched compiled solvers
+reach those SAME residuals: every job's target is the best residual the
+full-budget host-protocol run achieved (``result/benchmark_summary.json``,
+the reference-parity numbers), each solver's jobs for a problem run as ONE
+vmapped compiled solve whose lanes stop individually at their targets
+(``parallel.sweep.batched_protocol_sweep``), and the report compares total
+wall-clock against the reference's ``240 s x jobs`` budget — the
+BASELINE.json north-star claim ("solve the paper's full benchmark sweep to
+reference optimality in <=10% of CPU wall-clock").
+
+    python -m riptrm_tpu.experiment.protocol_speedrun
+        [--problems NonnegPCA,...] [--summary result/benchmark_summary.json]
+        [--out result/protocol_speedrun.json] [--slack 1.0] [--no-force-cpu]
+
+Notes: runs on CPU/x64 by default (reference tolerances are f64-deep);
+RIPM's ``checkNTequation`` debug self-check is disabled here (it is
+diagnostic logging, not part of the solve).  Compile time is reported
+separately — the reference's per-job budget excludes its import/setup too,
+and the compile is paid once per (problem, solver), not per job.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+PROBLEMS = ["NonnegPCA", "Rosenbrock", "StableIdentification"]
+REFERENCE_BUDGET_S = 240.0
+
+
+def stack_points(cfgs):
+    """Per-point problems -> (problem, stacked x0s, stacked y0s, points)."""
+    import jax
+    import jax.numpy as jnp
+
+    from riptrm_tpu.experiment.registry import build_problem
+
+    problems = [build_problem(c) for c in cfgs]
+    xs0 = jax.tree.map(lambda *ls: jnp.stack(ls), *[p.x0 for p in problems])
+    ys0 = jnp.stack([jnp.asarray(p.y0) for p in problems])
+    return problems[0], xs0, ys0, [str(c.problem_initialpoint) for c in cfgs]
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    problems = PROBLEMS
+    summary_path = "result/benchmark_summary.json"
+    out_path = "result/protocol_speedrun.json"
+    slack = 1.0
+    max_steps = 50_000
+    force_cpu = True
+    it = iter(argv)
+    for a in it:
+        if a == "--problems":
+            problems = next(it).split(",")
+        elif a == "--summary":
+            summary_path = next(it)
+        elif a == "--out":
+            out_path = next(it)
+        elif a == "--slack":
+            slack = float(next(it))
+        elif a == "--max-steps":
+            max_steps = int(next(it))
+        elif a == "--no-force-cpu":
+            force_cpu = False
+        else:
+            raise SystemExit(f"unknown arg {a}")
+
+    if force_cpu:
+        from riptrm_tpu.config import setup
+
+        setup(cpu=True)
+    import jax
+    import jax.numpy as jnp
+
+    from riptrm_tpu.experiment.cfg import solver_options_from_cfg, sweep_configs
+    from riptrm_tpu.experiment.registry import SOLVERS
+    from riptrm_tpu.parallel.sweep import batched_protocol_sweep
+
+    with open(summary_path) as f:
+        targets_by_key = json.load(f)
+
+    report = {"jobs": {}, "groups": {}}
+    total_run_s = 0.0
+    total_compile_s = 0.0
+    n_jobs = 0
+    for problem_name in problems:
+        cfgs = sweep_configs(f"configs/{problem_name}/config_simulation.yaml")
+        problem, xs0, ys0, points = stack_points(cfgs)
+        cfg0 = cfgs[0]
+        for solver_name in cfg0.solver_name:
+            option = solver_options_from_cfg(cfg0, solver_name)
+            option.pop("maxtime", None)  # compiled runs have no wall clock
+            option["checkNTequation"] = False
+            decorated = SOLVERS[solver_name](option).name
+            targets = []
+            for pt in points:
+                key = f"{problem_name}/{cfg0.problem_instance}/{pt}/{decorated}"
+                targets.append(targets_by_key.get(key, 0.0) * slack)
+            targets_a = jnp.asarray(targets, dtype=jnp.float64)
+
+            fn = batched_protocol_sweep(problem, solver_name, option, max_steps)
+            t0 = time.time()
+            x, y, ks, best = fn(xs0, ys0, targets_a)
+            jax.block_until_ready(best)
+            first_s = time.time() - t0
+            t0 = time.time()
+            x, y, ks, best = fn(xs0, ys0, targets_a)
+            jax.block_until_ready(best)
+            run_s = time.time() - t0
+            compile_s = max(first_s - run_s, 0.0)
+
+            best_h = np.asarray(best)
+            ks_h = np.asarray(ks)
+            group = {
+                "points": points,
+                "targets": [float(t) for t in targets],
+                "best": [float(b) for b in best_h],
+                "steps": [int(k) for k in ks_h],
+                "reached": [bool(b <= t) for b, t in zip(best_h, targets)],
+                "run_s": round(run_s, 4),
+                "compile_s": round(compile_s, 2),
+            }
+            report["groups"][f"{problem_name}/{decorated}"] = group
+            total_run_s += run_s
+            total_compile_s += compile_s
+            n_jobs += len(points)
+            print(
+                f"{problem_name}/{decorated}: {len(points)} jobs in "
+                f"{run_s:.3f}s (compile {compile_s:.1f}s), "
+                f"{sum(group['reached'])}/{len(points)} targets reached",
+                flush=True,
+            )
+
+    ref_total = REFERENCE_BUDGET_S * n_jobs
+    report["total"] = {
+        "jobs": n_jobs,
+        "run_s": round(total_run_s, 3),
+        "compile_s": round(total_compile_s, 1),
+        "reference_budget_s": ref_total,
+        "run_fraction_of_reference": round(total_run_s / ref_total, 6),
+        "run_plus_compile_fraction": round(
+            (total_run_s + total_compile_s) / ref_total, 6
+        ),
+        "device": str(jax.devices()[0]),
+    }
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report["total"]), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -187,6 +187,75 @@ def batched_solver_sweep(problem, solver_name: str, option, max_steps: int):
     return jax.jit(jax.vmap(one))
 
 
+def batched_protocol_sweep(problem, solver_name: str, option, max_steps: int):
+    """Batched TIME-TO-TARGET solves for the reference protocol
+    (SURVEY §6: "minimum KKT residual reached within budget").
+
+    Like ``batched_solver_sweep`` (same per-solver init plumbing) but each
+    lane carries the best-residual-so-far and stops as soon as it reaches
+    its per-lane ``target`` (e.g. the residual the full-budget host
+    protocol achieved, ``result/benchmark_summary.json``) — the honest
+    measurement for "solve the paper's sweep to reference optimality in a
+    fraction of the wall clock" (BASELINE.json north star).
+
+    Returns a jitted fn (xs0, ys0, targets) -> (x, y, steps, best).
+    """
+    from riptrm_tpu.solvers import ralm, ripm, rsqo
+
+    if solver_name == "RIPTRM":
+        solver = RIPTRM(option)
+        _warn_vmapped_lanczos(solver.option)
+        solve = solver.solve_compiled_best(problem, max_steps)
+
+        def one(x0, y0, target):
+            st, k, best = solve(
+                init_state_from(problem, solver.option, x0, y0), target
+            )
+            return st.x, st.y, k, best
+
+    elif solver_name == "RIPM":
+        solve = ripm.solve_compiled_best(problem, option, max_steps)
+        opt = ripm.RIPM(option).option
+
+        def one(x0, y0, target):
+            base, _, _ = ripm.init_state(problem, opt)
+            f = ripm._kkt_field(problem, x0, base.y, y0, y0)
+            phi0 = ripm._phi(problem, x0, *f)
+            m = problem.num_ineq
+            st0 = base._replace(
+                x=x0, z=y0, s=y0, phi=phi0,
+                sigma=jnp.minimum(0.5, phi0**0.25),
+                rho=jnp.vdot(y0, y0) / m,
+            )
+            tau_1 = jnp.min(y0 * y0) * m / jnp.vdot(y0, y0)
+            tau_2 = jnp.vdot(y0, y0) / jnp.sqrt(phi0)
+            st, k, best = solve(st0, tau_1, tau_2, target)
+            return st.x, st.z, k, best
+
+    elif solver_name == "RSQO":
+        solve = rsqo.solve_compiled_best(problem, option, max_steps)
+        opt = rsqo.RSQO(option).option
+
+        def one(x0, y0, target):
+            st0 = rsqo.init_state(problem, opt)._replace(x=x0, y=y0)
+            st, k, best = solve(st0, target)
+            return st.x, st.y, k, best
+
+    elif solver_name == "RALM":
+        solve = ralm.solve_compiled_best(problem, option, max_steps)
+        opt = ralm.RALM(option).option
+
+        def one(x0, y0, target):
+            st0 = ralm.init_state(problem, opt)._replace(x=x0, y=y0, y_unbd=y0)
+            st, k, best = solve(st0, target)
+            return st.x, st.y, k, best
+
+    else:
+        raise ValueError(f"Unknown solver {solver_name}")
+
+    return jax.jit(jax.vmap(one))
+
+
 def instance_batched_riptrm(option, max_steps: int, problem_builder=None):
     """Batch over problem *instances* x initial points simultaneously
     (BASELINE.json config 4: "NonnegPCA large-n batched: vmapped instances
@@ -258,7 +327,7 @@ def certify_second_order(problem, xs, ys, *, num_iters=64):
 
 def run_sweep(problem, option, xs0, ys0, *, max_steps=2000, mesh=None, axis="dp"):
     """Convenience wrapper: sharded when a mesh is given, else vmapped."""
-    xs0 = jnp.asarray(xs0)
+    xs0 = jax.tree.map(jnp.asarray, xs0)  # points may be pytrees
     ys0 = jnp.asarray(ys0)
     if mesh is None:
         fn = batched_riptrm_solve(problem, option, max_steps)
@@ -329,7 +398,8 @@ def run_sweep_checkpointed(
     """
     from riptrm_tpu.experiment.checkpoint import load_state, save_state
 
-    xs0 = jnp.asarray(xs0)
+    # Points may be pytrees (product manifolds): map, don't collapse.
+    xs0 = jax.tree.map(jnp.asarray, xs0)
     ys0 = jnp.asarray(ys0)
     solver = RIPTRM(option)
     batch = ys0.shape[0]

@@ -246,6 +246,43 @@ def solve_compiled(problem, option, max_steps: int):
     return solve
 
 
+def solve_compiled_best(problem, option, max_steps: int):
+    """Compiled solve tracking min-KKT-residual-so-far (the protocol
+    metric); stops early once ``best <= target``.  Returns
+    solve(state, target) -> (state, steps, best)."""
+    from riptrm_tpu.ops.kkt import compute_residual
+    from riptrm_tpu.solvers.base import merge_options
+
+    option = merge_options(default_option(), option or {})
+    step = make_step(problem, option)
+    tolresid = option["tolresid"]
+    maxiter = option["maxiter"]
+
+    def solve(state, target):
+        def cond(carry):
+            st, k, done, best = carry
+            return (~done) & (k < max_steps) & (k < maxiter)
+
+        def body(carry):
+            st, k, done, best = carry
+            new_st, _ = step(st)
+            y_eval = new_st.y_unbd if option["LagmultUnbdUpdate"] else new_st.y
+            z_eval = new_st.z_unbd if option["LagmultUnbdUpdate"] else new_st.z
+            res = compute_residual(problem, new_st.x, y_eval, z_eval)[0]
+            best_new = jnp.where(done, best, jnp.minimum(best, res))
+            new_done = done | (res <= tolresid) | (best_new <= target)
+            st_out = jax.tree.map(lambda o, n: jnp.where(done, o, n), st, new_st)
+            return (st_out, k + jnp.where(done, 0, 1), new_done, best_new)
+
+        inf = jnp.asarray(jnp.inf, dtype=jnp.asarray(state.rho).dtype)
+        st, k, _, best = jax.lax.while_loop(
+            cond, body, (state, jnp.asarray(0), jnp.asarray(False), inf)
+        )
+        return st, k, best
+
+    return solve
+
+
 class RALM:
     def __init__(self, option=None):
         self.option = merge_options(default_option(), option or {})

@@ -863,6 +863,51 @@ class RIPTRM:
         return solve
 
     # ------------------------------------------------------------------
+    def solve_compiled_best(self, problem, max_steps: int):
+        """Compiled solve tracking the PROTOCOL metric: the best KKT
+        residual over inner-converged steps (the reference's analyzers
+        filter RIPTRM rows to ``inner_status == converged``; SURVEY §6
+        "minimum KKT residual reached within budget").
+
+        Returns solve(state, target) -> (state, steps, best): the loop
+        additionally stops once ``best <= target`` (time-to-target runs,
+        ``experiment/protocol_speedrun.py``); pass target = 0 to run the
+        full maxiter/tolresid schedule.
+        """
+        option = self.option
+        step = make_step(problem, option)
+        tolresid = option["tolresid"]
+        maxiter = option["maxiter"]
+
+        def solve(state, target):
+            def cond(carry):
+                st, k, done, best = carry
+                return (~done) & (k < max_steps)
+
+            def body(carry):
+                st, k, done, best = carry
+                new_st, info = step(st)
+                counted = (~done) & info["converged"]
+                best_new = jnp.where(
+                    counted, jnp.minimum(best, info["residual"]), best
+                )
+                new_done = done | (
+                    info["converged"] & (info["residual"] <= tolresid)
+                ) | (new_st.outer_iter >= maxiter) | (best_new <= target)
+                st_out = jax.tree.map(
+                    lambda o, n: jnp.where(done, o, n), st, new_st
+                )
+                return (st_out, k + jnp.where(done, 0, 1), new_done, best_new)
+
+            inf = jnp.asarray(jnp.inf, dtype=state.mu.dtype)
+            state, k, _, best = jax.lax.while_loop(
+                cond, body, (state, jnp.asarray(0), jnp.asarray(False), inf)
+            )
+            return state, k, best
+
+        return solve
+
+    # ------------------------------------------------------------------
     def solve_compiled_traced(self, problem, max_steps: int):
         """Compiled solve that also records a compact per-step trace into
         fixed buffers (SURVEY §7.7: per-iteration log capture from stacked

@@ -338,3 +338,69 @@ def test_batched_solver_sweep_baselines(setup, solver_name):
         assert np.all(np.asarray(res) < 1e-5), np.asarray(res)
     xnorms = np.linalg.norm(np.asarray(x_f), axis=1)
     np.testing.assert_allclose(xnorms, 1.0, atol=1e-8)
+
+
+def test_batched_protocol_sweep_time_to_target(setup):
+    """Per-lane time-to-target: best-so-far <= final residual always; a
+    loose target stops a lane in strictly fewer steps than target=0
+    (which runs the full maxiter/tolresid schedule)."""
+    from riptrm_tpu.parallel.sweep import batched_protocol_sweep
+
+    problem, xs, ys = setup
+    option = {
+        "maxiter": 60,
+        "tolresid": 1e-9,
+        "TRS_solver": "tCG",
+        "second_order_stationarity": False,
+    }
+    fn = batched_protocol_sweep(problem, "RIPTRM", option, max_steps=400)
+    zeros = jnp.zeros((BATCH,))
+    x0_, y0_, ks_full, best_full = fn(xs, ys, zeros)
+    from riptrm_tpu.ops.kkt import compute_residual
+
+    res_final = jax.vmap(
+        lambda x, y: compute_residual(problem, x, y, jnp.zeros((0,)))[0]
+    )(x0_, y0_)
+    assert np.all(np.asarray(best_full) <= np.asarray(res_final) + 1e-12)
+    assert np.all(np.asarray(best_full) < 1e-6)
+
+    loose = jnp.full((BATCH,), 1e-2)
+    _, _, ks_loose, best_loose = fn(xs, ys, loose)
+    assert np.all(np.asarray(ks_loose) < np.asarray(ks_full))
+    assert np.all(np.asarray(best_loose) <= 1e-2)
+
+
+@pytest.mark.parametrize("solver_name", ["RIPM", "RSQO", "RALM"])
+def test_batched_protocol_sweep_baselines(setup, solver_name):
+    from riptrm_tpu.parallel.sweep import batched_protocol_sweep
+
+    problem, xs, ys = setup
+    option = {"maxiter": 150, "tolresid": 1e-9}
+    fn = batched_protocol_sweep(problem, solver_name, option, max_steps=150)
+    target = {"RIPM": 1e-5, "RSQO": 1e-5, "RALM": 1e-1}[solver_name]
+    targets = jnp.full((BATCH,), target)
+    _, _, ks, best = fn(xs, ys, targets)
+    assert np.all(np.asarray(best) <= target)
+    assert np.all(np.asarray(ks) < 150)  # stopped at target, not budget
+
+
+def test_checkpointed_sweep_pytree_points(tmp_path):
+    """Product-manifold starts are pytrees ((J, R, Q) tuples): the
+    checkpointed sweep must map over leaves, not collapse them into one
+    stacked array (regression: jnp.asarray on the tuple)."""
+    from riptrm_tpu.experiment.chip_sweep import build_sweep
+    from riptrm_tpu.parallel.sweep import run_sweep_checkpointed
+
+    problem, xs0, ys0 = build_sweep("StableIdentification", 3, 2, seed=1)
+    option = {
+        "maxiter": 10,
+        "tolresid": 1e-4,
+        "TRS_solver": "tCG",
+        "second_order_stationarity": False,
+    }
+    x, y, ks, res = run_sweep_checkpointed(
+        problem, option, xs0, ys0, max_steps=60, segment_steps=25,
+        checkpoint_path=str(tmp_path / "si.npz"),
+    )
+    assert np.all(np.isfinite(np.asarray(res)))
+    assert all(leaf.shape[0] == 2 for leaf in jax.tree.leaves(x))
