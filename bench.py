@@ -218,12 +218,17 @@ def main():
         bar = w - np.dot(x_np, w) * x_np  # proj of sum w_i * e_i
         return rh + bar
 
+    # Min over repeated loops: host contention (other processes on these
+    # 2 vCPUs) only ever slows the baseline down, which would inflate
+    # vs_baseline; the minimum is the uncontended estimate.
     n_np = 64
-    t0 = time.perf_counter()
-    for _ in range(n_np):
-        v = hw_np(v)
-        v = v / np.linalg.norm(v)
-    t_np = (time.perf_counter() - t0) / n_np
+    t_np = np.inf
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(n_np):
+            v = hw_np(v)
+            v = v / np.linalg.norm(v)
+        t_np = min(t_np, (time.perf_counter() - t0) / n_np)
     np_matvecs_per_s = 1.0 / t_np
 
     RESULT["value"] = round(matvecs_per_s, 1)

@@ -162,3 +162,41 @@ def test_analyzer_filters_and_best(tmp_path):
     f = filter_riptrm_rows(df)
     assert list(f["time"]) == [0.0, 2.0, 250.0]
     assert best_residual_within(f, 240.0) == 0.1
+
+
+def test_analyzer_plots_from_synthetic_logs(tmp_path):
+    """The three analyzer plot kinds render and save from the CSV log
+    contract (reference notebooks: residual curves, arctan second-order
+    curves, best-residual box plots)."""
+    import pandas as pd
+
+    from riptrm_tpu.experiment.analyzer import (
+        box_plot_best_residuals,
+        plot_residual_curves,
+        plot_second_order_curves,
+    )
+
+    for pt in ("a", "b"):
+        d = tmp_path / "P" / "1" / pt
+        d.mkdir(parents=True)
+        n = 30
+        pd.DataFrame({
+            "iteration": range(n),
+            "time": [0.1 * i for i in range(n)],
+            "residual": [10.0 * 0.7**i for i in range(n)],
+            "second_order_residual": [(-1) ** i * 0.5**i for i in range(n)],
+            "inner_status": ["converged"] * n,
+        }).to_csv(d / "RIPTRM_tCG_log.csv", index=False)
+
+    out_dir = str(tmp_path / "P" / "1" / "a")
+    f1 = str(tmp_path / "res.png")
+    plot_residual_curves(out_dir, ["RIPTRM_tCG"], save_path=f1)
+    f2 = str(tmp_path / "so.png")
+    plot_second_order_curves(out_dir, ["RIPTRM_tCG"], save_path=f2)
+    f3 = str(tmp_path / "box.png")
+    box_plot_best_residuals(
+        str(tmp_path / "P"), 1, ["a", "b"], ["RIPTRM_tCG"], save_path=f3
+    )
+    import os
+
+    assert all(os.path.getsize(f) > 1000 for f in (f1, f2, f3))
