@@ -200,3 +200,55 @@ def test_analyzer_plots_from_synthetic_logs(tmp_path):
     import os
 
     assert all(os.path.getsize(f) > 1000 for f in (f1, f2, f3))
+
+
+def test_strict_complementarity_checker(tmp_path):
+    """strict_complementarity flags exactly the indices where |y_i| and
+    |g_i(x)| are both ~0 (reference
+    analyzer_strict_complementarity.py:51-68), and the output post-checker
+    parses block-format x CSVs."""
+    import numpy as np
+
+    from riptrm_tpu.experiment.analyzer import (
+        check_strict_complementarity_outputs,
+        strict_complementarity,
+    )
+    from riptrm_tpu.problems import stable_identification as si
+
+    path = "dataset/StableIdentification/1"
+    problem = si.load_problem(path, "a")
+    x = problem.x0
+    g = np.asarray(problem.ineq_val(x))
+    # y chosen so index 0 violates strict complementarity iff g[0] ~ 0;
+    # make every y_i large except one paired with a tiny slack we inject
+    y = np.ones(problem.num_ineq)
+    near = int(np.argmin(np.abs(g)))
+    y[near] = 0.0
+    idx = strict_complementarity(problem, x, y, tol=np.abs(g[near]) + 1e-12)
+    assert near in idx
+    y[near] = 1.0
+    assert strict_complementarity(problem, x, y, tol=1e-12).size == 0
+
+    # post-checker over saved outputs (block-format x via save_output)
+    out_dir = tmp_path / "1" / "a"
+    out_dir.mkdir(parents=True)
+    from riptrm_tpu.experiment.simulator import save_output
+    from riptrm_tpu.solvers.base import Output
+
+    save_output(
+        str(out_dir),
+        "S",
+        Output(
+            name="S",
+            x=tuple(np.asarray(l) for l in x),
+            ineqLagmult=y,
+            eqLagmult=np.zeros(0),
+            option={},
+            log={},
+        ),
+    )
+    res = check_strict_complementarity_outputs(
+        path, str(tmp_path), 1, ["a"], ["S"]
+    )
+    assert ("S", "a") in res
+    assert res[("S", "a")].size == 0
