@@ -122,30 +122,34 @@ def sharded_riptrm_solve(problem, option, max_steps: int, mesh: Mesh, axis: str 
     return jax.jit(fn)
 
 
-def batched_solver_sweep(problem, solver_name: str, option, max_steps: int):
-    """Batched compiled solve for ANY of the four solvers.
+def _solver_plumbing(problem, solver_name: str, option, max_steps: int):
+    """Shared per-solver setup for the batched sweep variants.
 
-    Returns a jitted fn (xs0, ys0) -> (x_final, y_final, steps, residuals);
-    the sweep axis is the leading dimension of the stacked initial
-    primal/dual points (the reference's Hydra multirun axes; SURVEY §2.3).
+    Returns (solve, start, resid_args) where ``solve(st0, *extras, target)
+    -> (state, steps, best)`` is the solver's best-tracking compiled loop
+    (``solve_compiled`` is the same loop at target = -inf),
+    ``start(x0, y0) -> (st0, extras)`` builds a lane's initial state, and
+    ``resid_args(st) -> (x, ineq_mult, eq_mult)`` extracts the
+    KKT-residual arguments in the solver's convention.
     """
     from riptrm_tpu.solvers import ralm, ripm, rsqo
 
     if solver_name == "RIPTRM":
         solver = RIPTRM(option)
         _warn_vmapped_lanczos(solver.option)
-        solve = solver.solve_compiled(problem, max_steps)
+        solve = solver.solve_compiled_best(problem, max_steps)
 
-        def one(x0, y0):
-            st, k = solve(init_state_from(problem, solver.option, x0, y0))
-            res = compute_residual(problem, st.x, st.y, jnp.zeros((0,)))[0]
-            return st.x, st.y, k, res
+        def start(x0, y0):
+            return init_state_from(problem, solver.option, x0, y0), ()
+
+        def resid_args(st):
+            return st.x, st.y, jnp.zeros((0,))
 
     elif solver_name == "RIPM":
-        solve = ripm.solve_compiled(problem, option, max_steps)
+        solve = ripm.solve_compiled_best(problem, option, max_steps)
         opt = ripm.RIPM(option).option
 
-        def one(x0, y0):
+        def start(x0, y0):
             base, _, _ = ripm.init_state(problem, opt)
             f = ripm._kkt_field(problem, x0, base.y, y0, y0)
             phi0 = ripm._phi(problem, x0, *f)
@@ -157,32 +161,55 @@ def batched_solver_sweep(problem, solver_name: str, option, max_steps: int):
             )
             tau_1 = jnp.min(y0 * y0) * m / jnp.vdot(y0, y0)
             tau_2 = jnp.vdot(y0, y0) / jnp.sqrt(phi0)
-            st, k = solve(st0, tau_1, tau_2)
-            res = compute_residual(problem, st.x, st.z, st.y)[0]
-            return st.x, st.z, k, res
+            return st0, (tau_1, tau_2)
+
+        def resid_args(st):
+            return st.x, st.z, st.y
 
     elif solver_name == "RSQO":
-        solve = rsqo.solve_compiled(problem, option, max_steps)
+        solve = rsqo.solve_compiled_best(problem, option, max_steps)
         opt = rsqo.RSQO(option).option
 
-        def one(x0, y0):
-            st0 = rsqo.init_state(problem, opt)._replace(x=x0, y=y0)
-            st, k = solve(st0)
-            res = compute_residual(problem, st.x, st.y, st.z)[0]
-            return st.x, st.y, k, res
+        def start(x0, y0):
+            return rsqo.init_state(problem, opt)._replace(x=x0, y=y0), ()
+
+        def resid_args(st):
+            return st.x, st.y, st.z
 
     elif solver_name == "RALM":
-        solve = ralm.solve_compiled(problem, option, max_steps)
+        solve = ralm.solve_compiled_best(problem, option, max_steps)
         opt = ralm.RALM(option).option
 
-        def one(x0, y0):
+        def start(x0, y0):
             st0 = ralm.init_state(problem, opt)._replace(x=x0, y=y0, y_unbd=y0)
-            st, k = solve(st0)
-            res = compute_residual(problem, st.x, st.y, st.z)[0]
-            return st.x, st.y, k, res
+            return st0, ()
+
+        def resid_args(st):
+            return st.x, st.y, st.z
 
     else:
         raise ValueError(f"Unknown solver {solver_name}")
+
+    return solve, start, resid_args
+
+
+def batched_solver_sweep(problem, solver_name: str, option, max_steps: int):
+    """Batched compiled solve for ANY of the four solvers.
+
+    Returns a jitted fn (xs0, ys0) -> (x_final, y_final, steps, residuals);
+    the sweep axis is the leading dimension of the stacked initial
+    primal/dual points (the reference's Hydra multirun axes; SURVEY §2.3).
+    """
+    solve, start, resid_args = _solver_plumbing(
+        problem, solver_name, option, max_steps
+    )
+
+    def one(x0, y0):
+        st0, extras = start(x0, y0)
+        st, k, _ = solve(st0, *extras, -jnp.inf)
+        x, ineq, eq = resid_args(st)
+        res = compute_residual(problem, x, ineq, eq)[0]
+        return x, ineq, k, res
 
     return jax.jit(jax.vmap(one))
 
@@ -200,58 +227,15 @@ def batched_protocol_sweep(problem, solver_name: str, option, max_steps: int):
 
     Returns a jitted fn (xs0, ys0, targets) -> (x, y, steps, best).
     """
-    from riptrm_tpu.solvers import ralm, ripm, rsqo
+    solve, start, resid_args = _solver_plumbing(
+        problem, solver_name, option, max_steps
+    )
 
-    if solver_name == "RIPTRM":
-        solver = RIPTRM(option)
-        _warn_vmapped_lanczos(solver.option)
-        solve = solver.solve_compiled_best(problem, max_steps)
-
-        def one(x0, y0, target):
-            st, k, best = solve(
-                init_state_from(problem, solver.option, x0, y0), target
-            )
-            return st.x, st.y, k, best
-
-    elif solver_name == "RIPM":
-        solve = ripm.solve_compiled_best(problem, option, max_steps)
-        opt = ripm.RIPM(option).option
-
-        def one(x0, y0, target):
-            base, _, _ = ripm.init_state(problem, opt)
-            f = ripm._kkt_field(problem, x0, base.y, y0, y0)
-            phi0 = ripm._phi(problem, x0, *f)
-            m = problem.num_ineq
-            st0 = base._replace(
-                x=x0, z=y0, s=y0, phi=phi0,
-                sigma=jnp.minimum(0.5, phi0**0.25),
-                rho=jnp.vdot(y0, y0) / m,
-            )
-            tau_1 = jnp.min(y0 * y0) * m / jnp.vdot(y0, y0)
-            tau_2 = jnp.vdot(y0, y0) / jnp.sqrt(phi0)
-            st, k, best = solve(st0, tau_1, tau_2, target)
-            return st.x, st.z, k, best
-
-    elif solver_name == "RSQO":
-        solve = rsqo.solve_compiled_best(problem, option, max_steps)
-        opt = rsqo.RSQO(option).option
-
-        def one(x0, y0, target):
-            st0 = rsqo.init_state(problem, opt)._replace(x=x0, y=y0)
-            st, k, best = solve(st0, target)
-            return st.x, st.y, k, best
-
-    elif solver_name == "RALM":
-        solve = ralm.solve_compiled_best(problem, option, max_steps)
-        opt = ralm.RALM(option).option
-
-        def one(x0, y0, target):
-            st0 = ralm.init_state(problem, opt)._replace(x=x0, y=y0, y_unbd=y0)
-            st, k, best = solve(st0, target)
-            return st.x, st.y, k, best
-
-    else:
-        raise ValueError(f"Unknown solver {solver_name}")
+    def one(x0, y0, target):
+        st0, extras = start(x0, y0)
+        st, k, best = solve(st0, *extras, target)
+        x, ineq, _ = resid_args(st)
+        return x, ineq, k, best
 
     return jax.jit(jax.vmap(one))
 
@@ -325,9 +309,17 @@ def certify_second_order(problem, xs, ys, *, num_iters=64):
     return jax.jit(jax.vmap(one))(xs, ys)
 
 
+def _as_stacked_points(xs0):
+    """Lists stack into a batched array (convenience-wrapper behavior);
+    tuples/dicts are pytree points (product manifolds) mapped leaf-wise."""
+    if isinstance(xs0, list):
+        return jnp.asarray(xs0)
+    return jax.tree.map(jnp.asarray, xs0)
+
+
 def run_sweep(problem, option, xs0, ys0, *, max_steps=2000, mesh=None, axis="dp"):
     """Convenience wrapper: sharded when a mesh is given, else vmapped."""
-    xs0 = jax.tree.map(jnp.asarray, xs0)  # points may be pytrees
+    xs0 = _as_stacked_points(xs0)
     ys0 = jnp.asarray(ys0)
     if mesh is None:
         fn = batched_riptrm_solve(problem, option, max_steps)
@@ -398,8 +390,7 @@ def run_sweep_checkpointed(
     """
     from riptrm_tpu.experiment.checkpoint import load_state, save_state
 
-    # Points may be pytrees (product manifolds): map, don't collapse.
-    xs0 = jax.tree.map(jnp.asarray, xs0)
+    xs0 = _as_stacked_points(xs0)  # pytree points map; lists stack
     ys0 = jnp.asarray(ys0)
     solver = RIPTRM(option)
     batch = ys0.shape[0]

@@ -212,44 +212,12 @@ def init_state(problem, option):
     )
 
 
-def solve_compiled(problem, option, max_steps: int):
-    """Fully-compiled RALM solve for vmapped sweeps: solve(state) -> (state, steps)."""
-    from riptrm_tpu.ops.kkt import compute_residual
-    from riptrm_tpu.solvers.base import merge_options
-
-    option = merge_options(default_option(), option or {})
-    step = make_step(problem, option)
-    tolresid = option["tolresid"]
-    maxiter = option["maxiter"]
-
-    def solve(state):
-        def cond(carry):
-            st, k, done = carry
-            return (~done) & (k < max_steps) & (k < maxiter)
-
-        def body(carry):
-            # freeze per-lane state when done (vmapped lanes run in lockstep)
-            st, k, done = carry
-            new_st, _ = step(st)
-            y_eval = new_st.y_unbd if option["LagmultUnbdUpdate"] else new_st.y
-            z_eval = new_st.z_unbd if option["LagmultUnbdUpdate"] else new_st.z
-            res = compute_residual(problem, new_st.x, y_eval, z_eval)[0]
-            new_done = done | (res <= tolresid)
-            st_out = jax.tree.map(lambda o, n: jnp.where(done, o, n), st, new_st)
-            return (st_out, k + jnp.where(done, 0, 1), new_done)
-
-        st, k, _ = jax.lax.while_loop(
-            cond, body, (state, jnp.asarray(0), jnp.asarray(False))
-        )
-        return st, k
-
-    return solve
-
-
 def solve_compiled_best(problem, option, max_steps: int):
-    """Compiled solve tracking min-KKT-residual-so-far (the protocol
+    """Compiled RALM solve tracking min-KKT-residual-so-far (the protocol
     metric); stops early once ``best <= target``.  Returns
-    solve(state, target) -> (state, steps, best)."""
+    solve(state, target) -> (state, steps, best).  This is the ONE loop
+    body (freeze-when-done invariant lives here); ``solve_compiled``
+    delegates with target = -inf."""
     from riptrm_tpu.ops.kkt import compute_residual
     from riptrm_tpu.solvers.base import merge_options
 
@@ -264,6 +232,7 @@ def solve_compiled_best(problem, option, max_steps: int):
             return (~done) & (k < max_steps) & (k < maxiter)
 
         def body(carry):
+            # freeze per-lane state when done (vmapped lanes run in lockstep)
             st, k, done, best = carry
             new_st, _ = step(st)
             y_eval = new_st.y_unbd if option["LagmultUnbdUpdate"] else new_st.y
@@ -279,6 +248,17 @@ def solve_compiled_best(problem, option, max_steps: int):
             cond, body, (state, jnp.asarray(0), jnp.asarray(False), inf)
         )
         return st, k, best
+
+    return solve
+
+
+def solve_compiled(problem, option, max_steps: int):
+    """Fully-compiled RALM solve for vmapped sweeps: solve(state) -> (state, steps)."""
+    inner = solve_compiled_best(problem, option, max_steps)
+
+    def solve(state):
+        st, k, _ = inner(state, -jnp.inf)
+        return st, k
 
     return solve
 

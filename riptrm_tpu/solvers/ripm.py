@@ -436,45 +436,12 @@ def init_state(problem, option):
     return state, tau_1, tau_2
 
 
-def solve_compiled(problem, option, max_steps: int):
-    """Fully-compiled RIPM solve (lax.while_loop) for vmapped sweeps.
-
-    Returns solve(state, tau_1, tau_2) -> (state, steps).
-    """
-    from riptrm_tpu.ops.kkt import compute_residual
-    from riptrm_tpu.solvers.base import merge_options
-
-    option = merge_options(default_option(), option or {})
-    step = make_step(problem, option)
-    tolresid = option["tolresid"]
-    maxiter = option["maxiter"]
-
-    def solve(state, tau_1, tau_2):
-        def cond(carry):
-            st, k, done = carry
-            return (~done) & (k < max_steps)
-
-        def body(carry):
-            # freeze per-lane state when done (vmapped lanes run in lockstep)
-            st, k, done = carry
-            new_st, _ = step(st, tau_1, tau_2)
-            res = compute_residual(problem, new_st.x, new_st.z, new_st.y)[0]
-            new_done = done | (res <= tolresid) | (new_st.iteration >= maxiter)
-            st_out = jax.tree.map(lambda o, n: jnp.where(done, o, n), st, new_st)
-            return (st_out, k + jnp.where(done, 0, 1), new_done)
-
-        st, k, _ = jax.lax.while_loop(
-            cond, body, (state, jnp.asarray(0), jnp.asarray(False))
-        )
-        return st, k
-
-    return solve
-
-
 def solve_compiled_best(problem, option, max_steps: int):
-    """Compiled solve tracking min-KKT-residual-so-far (the protocol
+    """Compiled RIPM solve tracking min-KKT-residual-so-far (the protocol
     metric); stops early once ``best <= target``.  Returns
-    solve(state, tau_1, tau_2, target) -> (state, steps, best)."""
+    solve(state, tau_1, tau_2, target) -> (state, steps, best).  This is
+    the ONE loop body (freeze-when-done invariant lives here);
+    ``solve_compiled`` delegates with target = -inf."""
     from riptrm_tpu.ops.kkt import compute_residual
     from riptrm_tpu.solvers.base import merge_options
 
@@ -489,6 +456,7 @@ def solve_compiled_best(problem, option, max_steps: int):
             return (~done) & (k < max_steps)
 
         def body(carry):
+            # freeze per-lane state when done (vmapped lanes run in lockstep)
             st, k, done, best = carry
             new_st, _ = step(st, tau_1, tau_2)
             res = compute_residual(problem, new_st.x, new_st.z, new_st.y)[0]
@@ -504,6 +472,20 @@ def solve_compiled_best(problem, option, max_steps: int):
             cond, body, (state, jnp.asarray(0), jnp.asarray(False), inf)
         )
         return st, k, best
+
+    return solve
+
+
+def solve_compiled(problem, option, max_steps: int):
+    """Fully-compiled RIPM solve (lax.while_loop) for vmapped sweeps.
+
+    Returns solve(state, tau_1, tau_2) -> (state, steps).
+    """
+    inner = solve_compiled_best(problem, option, max_steps)
+
+    def solve(state, tau_1, tau_2):
+        st, k, _ = inner(state, tau_1, tau_2, -jnp.inf)
+        return st, k
 
     return solve
 

@@ -823,57 +823,10 @@ class RIPTRM:
         return out
 
     # ------------------------------------------------------------------
-    def solve_compiled(self, problem, max_steps: int, return_done: bool = False):
-        """Fully-compiled fixed-budget solve (lax.while_loop) for vmapped /
-        sharded sweeps and benchmarks.  Returns the final state and the
-        number of inner steps executed; with ``return_done`` also the
-        internal stop flag, which distinguishes "hit its stopping criterion"
-        from "exhausted max_steps" — segmented (checkpointed) sweeps need
-        this to compose segments exactly (a lane can converge precisely on
-        a segment's last step, where k alone is ambiguous)."""
-        option = self.option
-        step = make_step(problem, option)
-        tolresid = option["tolresid"]
-        maxiter = option["maxiter"]
-
-        def cond(carry):
-            state, k, done = carry
-            return (~done) & (k < max_steps)
-
-        def body(carry):
-            # Freeze the state once done: under vmap the loop runs until ALL
-            # lanes finish, and without the freeze finished lanes would keep
-            # stepping past their stopping point.
-            state, k, done = carry
-            new_state, info = step(state)
-            new_done = done | (
-                info["converged"] & (info["residual"] <= tolresid)
-            ) | (new_state.outer_iter >= maxiter)
-            state_out = jax.tree.map(
-                lambda old, new: jnp.where(done, old, new), state, new_state
-            )
-            return (state_out, k + jnp.where(done, 0, 1), new_done)
-
-        def solve(state):
-            state, k, done = jax.lax.while_loop(
-                cond, body, (state, jnp.asarray(0), jnp.asarray(False))
-            )
-            return (state, k, done) if return_done else (state, k)
-
-        return solve
-
-    # ------------------------------------------------------------------
-    def solve_compiled_best(self, problem, max_steps: int):
-        """Compiled solve tracking the PROTOCOL metric: the best KKT
-        residual over inner-converged steps (the reference's analyzers
-        filter RIPTRM rows to ``inner_status == converged``; SURVEY §6
-        "minimum KKT residual reached within budget").
-
-        Returns solve(state, target) -> (state, steps, best): the loop
-        additionally stops once ``best <= target`` (time-to-target runs,
-        ``experiment/protocol_speedrun.py``); pass target = 0 to run the
-        full maxiter/tolresid schedule.
-        """
+    def _solve_loop(self, problem, max_steps: int):
+        """The ONE compiled solve loop (freeze-when-done invariant lives
+        here): solve(state, target) -> (state, steps, done, best).  Both
+        public variants below delegate to it."""
         option = self.option
         step = make_step(problem, option)
         tolresid = option["tolresid"]
@@ -885,8 +838,14 @@ class RIPTRM:
                 return (~done) & (k < max_steps)
 
             def body(carry):
+                # Freeze the state once done: under vmap the loop runs
+                # until ALL lanes finish, and without the freeze finished
+                # lanes would keep stepping past their stopping point.
                 st, k, done, best = carry
                 new_st, info = step(st)
+                # The protocol metric counts only inner-converged steps
+                # (the reference's analyzers filter RIPTRM rows to
+                # ``inner_status == converged``).
                 counted = (~done) & info["converged"]
                 best_new = jnp.where(
                     counted, jnp.minimum(best, info["residual"]), best
@@ -900,10 +859,46 @@ class RIPTRM:
                 return (st_out, k + jnp.where(done, 0, 1), new_done, best_new)
 
             inf = jnp.asarray(jnp.inf, dtype=state.mu.dtype)
-            state, k, _, best = jax.lax.while_loop(
+            state, k, done, best = jax.lax.while_loop(
                 cond, body, (state, jnp.asarray(0), jnp.asarray(False), inf)
             )
-            return state, k, best
+            return state, k, done, best
+
+        return solve
+
+    # ------------------------------------------------------------------
+    def solve_compiled(self, problem, max_steps: int, return_done: bool = False):
+        """Fully-compiled fixed-budget solve (lax.while_loop) for vmapped /
+        sharded sweeps and benchmarks.  Returns the final state and the
+        number of inner steps executed; with ``return_done`` also the
+        internal stop flag, which distinguishes "hit its stopping criterion"
+        from "exhausted max_steps" — segmented (checkpointed) sweeps need
+        this to compose segments exactly (a lane can converge precisely on
+        a segment's last step, where k alone is ambiguous)."""
+        inner = self._solve_loop(problem, max_steps)
+
+        def solve(state):
+            st, k, done, _ = inner(state, -jnp.inf)
+            return (st, k, done) if return_done else (st, k)
+
+        return solve
+
+    # ------------------------------------------------------------------
+    def solve_compiled_best(self, problem, max_steps: int):
+        """Compiled solve tracking the PROTOCOL metric: the best KKT
+        residual over inner-converged steps (SURVEY §6 "minimum KKT
+        residual reached within budget").
+
+        Returns solve(state, target) -> (state, steps, best): the loop
+        additionally stops once ``best <= target`` (time-to-target runs,
+        ``experiment/protocol_speedrun.py``); pass target = 0 (or -inf) to
+        run the full maxiter/tolresid schedule.
+        """
+        inner = self._solve_loop(problem, max_steps)
+
+        def solve(state, target):
+            st, k, _, best = inner(state, target)
+            return st, k, best
 
         return solve
 
