@@ -129,9 +129,44 @@ def build_sweep(problem_name: str, size: int, batch: int, seed: int = 0):
         ys0 = jnp.ones((batch, problem.num_ineq), jnp.float32)
         return problem, xs0, ys0
 
+    if problem_name == "BoundedPCA":
+        from riptrm_tpu.problems import bounded_pca
+
+        p = max(2, size // 16)  # St(n, p) with a small frame
+        with jax.default_device(_cpu_device()):
+            data = bounded_pca.generate_instance(key, size)
+            z_np = np.asarray(data["Z"])
+        starts = []
+        for i in range(batch):
+            key, sub = jax.random.split(key)
+            starts.append(bounded_pca.generate_initialpoint(sub, size, p))
+        problem = bounded_pca.make_problem(z_np, starts[0], dtype=jnp.float32)
+        xs0 = jnp.stack([jnp.asarray(s, jnp.float32) for s in starts])
+        ys0 = jnp.ones((batch, problem.num_ineq), jnp.float32)
+        return problem, xs0, ys0
+
+    if problem_name == "LowRank":
+        from riptrm_tpu.problems import low_rank
+
+        m, n, rank = size, max(2, size // 2), max(2, size // 8)
+        with jax.default_device(_cpu_device()):
+            data = low_rank.generate_instance(key, m, n, rank)
+            a_np = np.asarray(data["A"])
+        starts = []
+        for i in range(batch):
+            key, sub = jax.random.split(key)
+            starts.append(low_rank.generate_initialpoint(sub, m, n, rank))
+        problem = low_rank.make_problem(a_np, starts[0], dtype=jnp.float32)
+        xs0 = jax.tree.map(
+            lambda *ls: jnp.stack([jnp.asarray(l, jnp.float32) for l in ls]),
+            *starts,
+        )
+        ys0 = jnp.ones((batch, problem.num_ineq), jnp.float32)
+        return problem, xs0, ys0
+
     raise ValueError(
-        "chip_sweep supports NonnegPCA, StableIdentification and Rosenbrock, "
-        f"got {problem_name}"
+        "chip_sweep supports NonnegPCA, StableIdentification, Rosenbrock, "
+        f"BoundedPCA and LowRank; got {problem_name}"
     )
 
 

@@ -46,3 +46,21 @@ def test_measure_sweep_nonneg_pca():
     assert per_sweep > 0
     assert res.shape == (2,)
     assert np.all(res < 1e-2)
+
+
+def test_build_sweep_bounded_pca():
+    problem, xs0, ys0 = build_sweep("BoundedPCA", 32, 2, seed=3)
+    assert xs0.shape[0] == 2 and xs0.shape[1] == 32
+    for b in range(2):
+        x = np.asarray(xs0[b])
+        np.testing.assert_allclose(x.T @ x, np.eye(x.shape[1]), atol=1e-5)
+        assert np.all(np.asarray(problem.ineq_val(xs0[b])) < 0)
+
+
+def test_build_sweep_low_rank():
+    problem, xs0, ys0 = build_sweep("LowRank", 16, 2, seed=4)
+    u, s, v = (np.asarray(l) for l in (xs0[0], xs0[1], xs0[2]))
+    assert u.shape[0] == 2  # batch axis on every factor leaf
+    for b in range(2):
+        x = tuple(leaf[b] for leaf in xs0)
+        assert np.all(np.asarray(problem.slack(x)) > 0)
