@@ -409,7 +409,13 @@ def run_sweep_checkpointed(
         carry, start_meta = load_state(checkpoint_path, carry0)
     # Budget accounting rides on exact steps_done (recorded in the
     # checkpoint meta), so a resume may use a different segment_steps.
-    steps_done = int(start_meta.get("steps_done", 0))
+    steps_done = int(
+        start_meta.get(
+            "steps_done",
+            # older checkpoints recorded only whole segments
+            start_meta.get("segments_done", 0) * segment_steps,
+        )
+    )
     n_seg = int(start_meta.get("segments_done", 0))
 
     if mesh is not None:
