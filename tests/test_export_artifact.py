@@ -1,0 +1,57 @@
+"""Deployable solver artifacts: export -> reload -> trace-free execution."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from riptrm_tpu.experiment.export_artifact import export_sweep, load_sweep
+from riptrm_tpu.problems import nonneg_pca
+
+N, B = 16, 4
+
+
+def _setup():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    data = nonneg_pca.generate_instance(k1, N)
+    xs = np.abs(np.asarray(jax.random.normal(k2, (B, N))))
+    xs = xs / np.linalg.norm(xs, axis=1, keepdims=True)
+    problem = nonneg_pca.make_problem(data["Z"], xs[0])
+    return problem, jnp.asarray(xs), jnp.ones((B, N), xs.dtype)
+
+
+def test_export_roundtrip_matches_direct(tmp_path):
+    from riptrm_tpu.parallel.sweep import batched_solver_sweep
+
+    problem, xs, ys = _setup()
+    option = {
+        "maxiter": 20,
+        "tolresid": 1e-6,
+        "TRS_solver": "tCG",
+        "second_order_stationarity": False,
+    }
+    path = str(tmp_path / "sweep.stablehlo")
+    export_sweep(problem, "RIPTRM", option, path, batch=B, max_steps=200)
+
+    run, manifest = load_sweep(path)
+    assert manifest["solver"] == "RIPTRM" and manifest["batch"] == B
+    x_a, y_a, ks_a, res_a = run(xs, ys)
+
+    direct = batched_solver_sweep(problem, "RIPTRM", option, max_steps=200)
+    x_d, y_d, ks_d, res_d = direct(xs, ys)
+    # same program, serialized: bit-identical results expected
+    np.testing.assert_array_equal(np.asarray(ks_a), np.asarray(ks_d))
+    np.testing.assert_allclose(np.asarray(x_a), np.asarray(x_d), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(res_a), np.asarray(res_d), rtol=0, atol=0)
+    assert np.all(np.asarray(res_a) < 1e-3)
+
+
+def test_export_baseline_solver(tmp_path):
+    problem, xs, ys = _setup()
+    path = str(tmp_path / "ripm.stablehlo")
+    export_sweep(
+        problem, "RIPM", {"maxiter": 100, "tolresid": 1e-6}, path, batch=B,
+        max_steps=100,
+    )
+    run, _ = load_sweep(path)
+    _, _, ks, res = run(xs, ys)
+    assert np.all(np.asarray(res) < 1e-5)
