@@ -155,6 +155,9 @@ def main(argv=None):
                 total_run_s += run_s
                 total_compile_s += compile_s
                 n_jobs += len(points)
+                # Flush after every group: a killed run keeps its partials.
+                with open(out_path, "w") as f:
+                    json.dump(report, f, indent=1)
                 print(
                     f"{problem_name}/{instance}/{decorated}: {len(points)} "
                     f"jobs in {run_s:.3f}s (compile {compile_s:.1f}s), "
