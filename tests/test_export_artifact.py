@@ -55,3 +55,21 @@ def test_export_baseline_solver(tmp_path):
     run, _ = load_sweep(path)
     _, _, ks, res = run(xs, ys)
     assert np.all(np.asarray(res) < 1e-5)
+
+
+def test_export_pytree_points(tmp_path):
+    """Product-manifold (pytree) points export/reload correctly."""
+    from riptrm_tpu.experiment.chip_sweep import build_sweep
+
+    problem, xs0, ys0 = build_sweep("StableIdentification", 3, 2, seed=0)
+    path = str(tmp_path / "si.stablehlo")
+    export_sweep(
+        problem, "RIPTRM",
+        {"maxiter": 10, "tolresid": 1e-4, "TRS_solver": "tCG",
+         "second_order_stationarity": False},
+        path, batch=2, max_steps=60,
+    )
+    run, manifest = load_sweep(path)
+    x, y, ks, res = run(xs0, ys0)
+    assert np.all(np.isfinite(np.asarray(res)))
+    assert len(manifest["x_shapes"]) == 3  # J, R, Q leaves
