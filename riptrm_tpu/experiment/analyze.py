@@ -29,8 +29,15 @@ def _discover_solvers(output_dir: str):
     return sorted(names)
 
 
+def _maybe_help(argv):
+    if any(a in ("-h", "--help") for a in argv):
+        print(__doc__)
+        raise SystemExit(0)
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    _maybe_help(argv)
     problem = "NonnegPCA"
     instance = "1"
     initialpoints = ["a"]

@@ -33,8 +33,15 @@ def jobs_for(problem: str, overrides):
     return sweep_configs(path, overrides)
 
 
+def _maybe_help(argv):
+    if any(a in ("-h", "--help") for a in argv):
+        print(__doc__)
+        raise SystemExit(0)
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    _maybe_help(argv)
     budget = 240.0
     problems = PROBLEMS
     solvers = None

@@ -48,8 +48,15 @@ def stack_points(cfgs):
     return problems[0], xs0, ys0, [str(c.problem_initialpoint) for c in cfgs]
 
 
+def _maybe_help(argv):
+    if any(a in ("-h", "--help") for a in argv):
+        print(__doc__)
+        raise SystemExit(0)
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    _maybe_help(argv)
     problems = PROBLEMS
     summary_path = "result/benchmark_summary.json"
     out_path = "result/protocol_speedrun.json"
