@@ -460,7 +460,7 @@ def solve_compiled_best(problem, option, max_steps: int):
             st, k, done, best = carry
             new_st, _ = step(st, tau_1, tau_2)
             res = compute_residual(problem, new_st.x, new_st.z, new_st.y)[0]
-            best_new = jnp.where(done, best, jnp.minimum(best, res))
+            best_new = jnp.where((~done) & (res < best), res, best)
             new_done = done | (res <= tolresid) | (
                 new_st.iteration >= maxiter
             ) | (best_new <= target)

@@ -846,9 +846,11 @@ class RIPTRM:
                 # The protocol metric counts only inner-converged steps
                 # (the reference's analyzers filter RIPTRM rows to
                 # ``inner_status == converged``).
+                # NaN-robust running min: a NaN residual (diverged
+                # step) must not poison best (jnp.minimum propagates NaN).
                 counted = (~done) & info["converged"]
                 best_new = jnp.where(
-                    counted, jnp.minimum(best, info["residual"]), best
+                    counted & (info["residual"] < best), info["residual"], best
                 )
                 new_done = done | (
                     info["converged"] & (info["residual"] <= tolresid)

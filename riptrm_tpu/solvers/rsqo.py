@@ -249,7 +249,7 @@ def solve_compiled_best(problem, option, max_steps: int):
             st, k, done, best = carry
             new_st, _ = step(st)
             res = compute_residual(problem, new_st.x, new_st.y, new_st.z)[0]
-            best_new = jnp.where(done, best, jnp.minimum(best, res))
+            best_new = jnp.where((~done) & (res < best), res, best)
             new_done = done | (res <= tolresid) | (best_new <= target)
             st_out = jax.tree.map(lambda o, n: jnp.where(done, o, n), st, new_st)
             return (st_out, k + jnp.where(done, 0, 1), new_done, best_new)
