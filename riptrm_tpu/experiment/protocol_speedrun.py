@@ -158,6 +158,18 @@ def main(argv=None):
                     "run_s": round(run_s, 4),
                     "compile_s": round(compile_s, 2),
                 }
+                if solver_name == "RIPTRM":
+                    # Post-hoc second-order certificates at every final
+                    # point (one batched matrix-free Lanczos): the paper's
+                    # headline claim is certified second-order
+                    # stationarity, which the protocol's tCG config leaves
+                    # off in-loop (reference config parity).
+                    from riptrm_tpu.parallel.sweep import certify_second_order
+
+                    mineigs = certify_second_order(problem, x, y, ratio_cap=1e8)
+                    group["second_order_mineig"] = [
+                        float(v) for v in np.asarray(mineigs)
+                    ]
                 report["groups"][f"{problem_name}/{instance}/{decorated}"] = group
                 total_run_s += run_s
                 total_compile_s += compile_s

@@ -275,7 +275,7 @@ def instance_batched_riptrm(option, max_steps: int, problem_builder=None):
     return jax.jit(jax.vmap(one))
 
 
-def certify_second_order(problem, xs, ys, *, num_iters=64):
+def certify_second_order(problem, xs, ys, *, num_iters=64, ratio_cap=None):
     """Post-hoc second-order certificates for a batch of final points.
 
     One vmapped matrix-free Lanczos per lane: returns the Ritz minimum of
@@ -289,6 +289,13 @@ def certify_second_order(problem, xs, ys, *, num_iters=64):
 
     Hw does not depend on the barrier parameter mu (mu only shifts the
     gradient cx), so no mu argument is needed.
+
+    ``ratio_cap`` clamps the barrier ratio y/c: the term G diag(y/c) G' is
+    PSD, so clamping only REMOVES positive curvature — a capped
+    certificate is conservative (if it clears -tol, so does the true Hw).
+    Needed at deeply-converged KKT points, where active constraints give
+    y/c -> 1/c ~ 1e30 and an uncapped Lanczos returns rounding garbage of
+    that scale.
     """
     from riptrm_tpu.ops.spectrum import lanczos
     from riptrm_tpu.solvers.riptrm import _barrier_ops
@@ -297,6 +304,10 @@ def certify_second_order(problem, xs, ys, *, num_iters=64):
     k = min(num_iters, man.dim)
 
     def one(x, y):
+        if ratio_cap is not None:
+            # clamp via an equivalent y: w = min(y/c, cap)  <=>  y' = w*c
+            c = problem.slack(x)
+            y = jnp.minimum(y / c, ratio_cap) * c
         _, hw, cx = _barrier_ops(problem, x, y, jnp.zeros((), dtype=y.dtype))
         # Deterministic start (no RNG in the solver path); the projected
         # all-ones direction keeps v0 nonzero when the gradient vanishes

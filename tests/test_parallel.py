@@ -404,3 +404,23 @@ def test_checkpointed_sweep_pytree_points(tmp_path):
     )
     assert np.all(np.isfinite(np.asarray(res)))
     assert all(leaf.shape[0] == 2 for leaf in jax.tree.leaves(x))
+
+
+def test_certify_second_order_ratio_cap(setup):
+    """At a deeply-converged KKT point active constraints make y/c huge
+    and the uncapped Lanczos returns rounding garbage; the capped
+    certificate (PSD barrier term clamped -> conservative) stays at the
+    Lagrangian-curvature scale."""
+    from riptrm_tpu.parallel.sweep import certify_second_order
+
+    problem, xs, ys = setup
+    option = OPTION | {"maxiter": 40, "tolresid": 1e-12}
+    fn = batched_riptrm_solve(problem, option, max_steps=400)
+    states, ks, res = fn(xs, ys)
+    assert np.all(np.asarray(res) < 1e-10)  # deep convergence (x64 CPU)
+    capped = np.asarray(
+        certify_second_order(problem, states.x, states.y, ratio_cap=1e8)
+    )
+    # curvature at the Lagrangian scale (|Z| ~ O(1)), and nonnegative
+    # at a strict minimizer
+    assert np.all(capped > -1e-6) and np.all(np.abs(capped) < 1e3)
