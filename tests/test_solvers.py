@@ -154,3 +154,39 @@ def test_check_trs_optimality_log_saves(pca, tmp_path):
     assert "TRS_mineig" in df.columns
     assert df["TRS_mineig"].iloc[0] is None or np.isnan(df["TRS_mineig"].iloc[0])
     assert np.isfinite(df["TRS_mineig"].iloc[-1])
+
+
+def test_inner_maxiter_reset_semantics():
+    """Forced inner exits (inner_maxiter budget, RIPTRM.py:835-842) reset
+    to the inner loop's initial point and still advance the outer loop;
+    the solve makes progress across outer iterations (each restarts from
+    the last ACCEPTED outer point, with mu decreasing)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from riptrm_tpu.problems import nonneg_pca
+    from riptrm_tpu.solvers.riptrm import RIPTRM, init_state
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    data = nonneg_pca.generate_instance(k1, 12)
+    x0 = np.abs(np.asarray(jax.random.normal(k2, (12,))))
+    x0 /= np.linalg.norm(x0)
+    problem = nonneg_pca.make_problem(data["Z"], x0)
+
+    option = {
+        "maxiter": 60,
+        "tolresid": 1e-6,
+        "inner_maxiter": 2,  # far too small: most inner runs get forced
+        "TRS_solver": "tCG",
+        "second_order_stationarity": False,
+    }
+    solver = RIPTRM(option)
+    solve = jax.jit(solver.solve_compiled(problem, max_steps=400))
+    st, k = solve(init_state(problem, solver.option))
+    # mu advanced through outer iterations despite the forced resets
+    assert int(st.outer_iter) > 5
+    assert float(st.mu) < solver.option["initial_barrier_parameter"]
+    # iterate stayed on-manifold and feasible throughout
+    assert abs(np.linalg.norm(np.asarray(st.x)) - 1) < 1e-10
+    assert np.asarray(st.x).min() > 0
