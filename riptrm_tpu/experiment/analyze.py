@@ -29,15 +29,11 @@ def _discover_solvers(output_dir: str):
     return sorted(names)
 
 
-def _maybe_help(argv):
-    if any(a in ("-h", "--help") for a in argv):
-        print(__doc__)
-        raise SystemExit(0)
-
-
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
-    _maybe_help(argv)
+    from riptrm_tpu.experiment.cfg import maybe_help
+
+    maybe_help(argv, __doc__)
     problem = "NonnegPCA"
     instance = "1"
     initialpoints = ["a"]

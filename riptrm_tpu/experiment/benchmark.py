@@ -33,15 +33,11 @@ def jobs_for(problem: str, overrides):
     return sweep_configs(path, overrides)
 
 
-def _maybe_help(argv):
-    if any(a in ("-h", "--help") for a in argv):
-        print(__doc__)
-        raise SystemExit(0)
-
-
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
-    _maybe_help(argv)
+    from riptrm_tpu.experiment.cfg import maybe_help
+
+    maybe_help(argv, __doc__)
     budget = 240.0
     problems = PROBLEMS
     solvers = None

@@ -160,3 +160,10 @@ def solver_options_from_cfg(cfg: Config, solver_name: str) -> dict:
     option = dict(so.get("common", {}))
     option.update(so.get(solver_name, {}))
     return option
+
+
+def maybe_help(argv, doc):
+    """Shared -h/--help handling for the hand-rolled experiment CLIs."""
+    if any(a in ("-h", "--help") for a in argv):
+        print(doc)
+        raise SystemExit(0)

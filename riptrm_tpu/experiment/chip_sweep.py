@@ -134,12 +134,15 @@ def build_sweep(problem_name: str, size: int, batch: int, seed: int = 0):
 
         p = max(2, size // 16)  # St(n, p) with a small frame
         with jax.default_device(_cpu_device()):
-            data = bounded_pca.generate_instance(key, size)
+            # Distinct upfront subkeys: the instance key must not be reused
+            # for starts, and the splits must run on the CPU backend.
+            ks = jax.random.split(jax.device_put(key, _cpu_device()), batch + 1)
+            data = bounded_pca.generate_instance(ks[0], size)
             z_np = np.asarray(data["Z"])
-        starts = []
-        for i in range(batch):
-            key, sub = jax.random.split(key)
-            starts.append(bounded_pca.generate_initialpoint(sub, size, p))
+            starts = [
+                bounded_pca.generate_initialpoint(ks[1 + i], size, p)
+                for i in range(batch)
+            ]
         problem = bounded_pca.make_problem(z_np, starts[0], dtype=jnp.float32)
         xs0 = jnp.stack([jnp.asarray(s, jnp.float32) for s in starts])
         ys0 = jnp.ones((batch, problem.num_ineq), jnp.float32)
@@ -150,12 +153,13 @@ def build_sweep(problem_name: str, size: int, batch: int, seed: int = 0):
 
         m, n, rank = size, max(2, size // 2), max(2, size // 8)
         with jax.default_device(_cpu_device()):
-            data = low_rank.generate_instance(key, m, n, rank)
+            ks = jax.random.split(jax.device_put(key, _cpu_device()), batch + 1)
+            data = low_rank.generate_instance(ks[0], m, n, rank)
             a_np = np.asarray(data["A"])
-        starts = []
-        for i in range(batch):
-            key, sub = jax.random.split(key)
-            starts.append(low_rank.generate_initialpoint(sub, m, n, rank))
+            starts = [
+                low_rank.generate_initialpoint(ks[1 + i], m, n, rank)
+                for i in range(batch)
+            ]
         problem = low_rank.make_problem(a_np, starts[0], dtype=jnp.float32)
         xs0 = jax.tree.map(
             lambda *ls: jnp.stack([jnp.asarray(l, jnp.float32) for l in ls]),

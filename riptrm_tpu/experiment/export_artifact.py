@@ -77,7 +77,9 @@ def export_sweep(
         "num_ineq": int(problem.num_ineq),
         "platforms": list(exp.platforms),
         "x_shapes": [list(l.shape) for l in jax.tree.leaves(xs)],
+        "x_dtypes": [str(l.dtype) for l in jax.tree.leaves(xs)],
         "y_shape": list(ys.shape),
+        "y_dtype": str(ys.dtype),
         "jax_version": jax.__version__,
     }
     with open(path + ".json", "w") as f:
@@ -87,8 +89,14 @@ def export_sweep(
 def load_sweep(path: str):
     """Deserialize an exported sweep: returns (callable, manifest).
 
-    The callable runs without any Python-level tracing of the solver.
+    The callable runs without any Python-level tracing of the solver;
+    inputs are validated against the manifest first, so a wrong batch
+    size or dtype fails with a clear message instead of an opaque
+    StableHLO error.
     """
+    import warnings
+
+    import jax
     from jax import export as jexport
 
     with open(path, "rb") as f:
@@ -97,8 +105,34 @@ def load_sweep(path: str):
     if os.path.exists(path + ".json"):
         with open(path + ".json") as f:
             manifest = json.load(f)
+        if manifest.get("jax_version") not in (None, jax.__version__):
+            warnings.warn(
+                f"artifact {path} was exported under jax "
+                f"{manifest['jax_version']}; running under {jax.__version__}"
+            )
 
     def run(xs0, ys0):
+        if manifest:
+            import jax as _jax
+
+            leaves = _jax.tree.leaves(xs0)
+            got = [list(np.shape(l)) for l in leaves] + [list(np.shape(ys0))]
+            want = manifest["x_shapes"] + [manifest["y_shape"]]
+            if got != want:
+                raise ValueError(
+                    f"artifact {path} expects input shapes {want} "
+                    f"(batch={manifest['batch']}), got {got}"
+                )
+            if "x_dtypes" in manifest:
+                got_dt = [str(np.asarray(l).dtype) for l in leaves] + [
+                    str(np.asarray(ys0).dtype)
+                ]
+                want_dt = manifest["x_dtypes"] + [manifest["y_dtype"]]
+                if got_dt != want_dt:
+                    raise ValueError(
+                        f"artifact {path} expects input dtypes {want_dt}, "
+                        f"got {got_dt}"
+                    )
         return exp.call(xs0, ys0)
 
     return run, manifest

@@ -48,15 +48,11 @@ def stack_points(cfgs):
     return problems[0], xs0, ys0, [str(c.problem_initialpoint) for c in cfgs]
 
 
-def _maybe_help(argv):
-    if any(a in ("-h", "--help") for a in argv):
-        print(__doc__)
-        raise SystemExit(0)
-
-
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
-    _maybe_help(argv)
+    from riptrm_tpu.experiment.cfg import maybe_help
+
+    maybe_help(argv, __doc__)
     problems = PROBLEMS
     summary_path = "result/benchmark_summary.json"
     out_path = "result/protocol_speedrun.json"
@@ -158,12 +154,19 @@ def main(argv=None):
                     "run_s": round(run_s, 4),
                     "compile_s": round(compile_s, 2),
                 }
-                if solver_name == "RIPTRM":
+                if solver_name == "RIPTRM" and problem_name in (
+                    "NonnegPCA", "Rosenbrock"
+                ):
                     # Post-hoc second-order certificates at every final
-                    # point (one batched matrix-free Lanczos): the paper's
-                    # headline claim is certified second-order
-                    # stationarity, which the protocol's tCG config leaves
-                    # off in-loop (reference config parity).
+                    # point (one batched matrix-free Lanczos); the
+                    # protocol's tCG config leaves the in-loop check off
+                    # (reference config parity).  Only AFFINE-constraint
+                    # problems: there Hess g = 0, so the Lagrangian term
+                    # is y-independent and the ratio-capped certificate is
+                    # meaningful; with nonlinear constraints
+                    # (StableIdentification's annulus) terminal duals
+                    # clipped at 1e20 make any terminal-point curvature
+                    # bound vacuous.
                     from riptrm_tpu.parallel.sweep import certify_second_order
 
                     mineigs = certify_second_order(problem, x, y, ratio_cap=1e8)

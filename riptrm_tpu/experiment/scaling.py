@@ -131,15 +131,11 @@ def measure(problem, option, device_counts, per_device, max_steps, reps=(1, 5)):
     return rows
 
 
-def _maybe_help(argv):
-    if any(a in ("-h", "--help") for a in argv):
-        print(__doc__)
-        raise SystemExit(0)
-
-
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
-    _maybe_help(argv)
+    from riptrm_tpu.experiment.cfg import maybe_help
+
+    maybe_help(argv, __doc__)
     n = 256
     per_device = 4
     max_steps = 200

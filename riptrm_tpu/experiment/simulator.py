@@ -127,15 +127,11 @@ class Simulator:
             logger.info("Finished solver %s", solver.name)
 
 
-def _maybe_help(argv):
-    if any(a in ("-h", "--help") for a in argv):
-        print(__doc__)
-        raise SystemExit(0)
-
-
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
-    _maybe_help(argv)
+    from riptrm_tpu.experiment.cfg import maybe_help
+
+    maybe_help(argv, __doc__)
     logging.basicConfig(level=logging.INFO, format="[%(asctime)s][%(name)s] %(message)s")
     multirun = False
     config_path = None

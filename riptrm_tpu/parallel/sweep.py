@@ -290,12 +290,15 @@ def certify_second_order(problem, xs, ys, *, num_iters=64, ratio_cap=None):
     Hw does not depend on the barrier parameter mu (mu only shifts the
     gradient cx), so no mu argument is needed.
 
-    ``ratio_cap`` clamps the barrier ratio y/c: the term G diag(y/c) G' is
-    PSD, so clamping only REMOVES positive curvature — a capped
-    certificate is conservative (if it clears -tol, so does the true Hw).
-    Needed at deeply-converged KKT points, where active constraints give
-    y/c -> 1/c ~ 1e30 and an uncapped Lanczos returns rounding garbage of
-    that scale.
+    ``ratio_cap`` clamps the barrier RATIO w = y/c inside the (PSD) barrier
+    term G diag(w) G' ONLY — the Lagrangian-Hessian term keeps the true
+    multipliers, so Hw_true - Hw_capped = G diag(y/c - w) G' is PSD and the
+    capped certificate is conservative (if it clears -tol, so does the
+    true Hw).  Needed at deeply-converged KKT points, where active
+    constraints give y/c -> 1/c ~ 1e30 and an uncapped Lanczos returns
+    rounding garbage of that scale.  Nonpositive slacks (boundary /
+    f32-rounded points, incl. the 0/0 case) contribute w = 0 — again the
+    conservative lower bound for y >= 0, c > 0.
     """
     from riptrm_tpu.ops.spectrum import lanczos
     from riptrm_tpu.solvers.riptrm import _barrier_ops
@@ -304,11 +307,23 @@ def certify_second_order(problem, xs, ys, *, num_iters=64, ratio_cap=None):
     k = min(num_iters, man.dim)
 
     def one(x, y):
-        if ratio_cap is not None:
-            # clamp via an equivalent y: w = min(y/c, cap)  <=>  y' = w*c
+        if ratio_cap is None:
+            _, hw, cx = _barrier_ops(problem, x, y, jnp.zeros((), dtype=y.dtype))
+        else:
             c = problem.slack(x)
-            y = jnp.minimum(y / c, ratio_cap) * c
-        _, hw, cx = _barrier_ops(problem, x, y, jnp.zeros((), dtype=y.dtype))
+            w = jnp.where(
+                c > 0, jnp.minimum(y / jnp.where(c > 0, c, 1.0), ratio_cap), 0.0
+            )
+            lag_hvp = problem.lag_rhess_at(x, y)  # TRUE y in the Lagrangian
+            gx = problem.gx_at(x)
+            gx_adj = problem.gx_adj_at(x)
+
+            def hw(dx):
+                lag = lag_hvp(dx)
+                bar = gx(w * gx_adj(dx))
+                return jax.tree.map(lambda a, b: a + b, lag, bar)
+
+            cx = problem.rgrad(x)
         # Deterministic start (no RNG in the solver path); the projected
         # all-ones direction keeps v0 nonzero when the gradient vanishes
         # (interior optimum).
@@ -423,8 +438,10 @@ def run_sweep_checkpointed(
     steps_done = int(
         start_meta.get(
             "steps_done",
-            # older checkpoints recorded only whole segments
-            start_meta.get("segments_done", 0) * segment_steps,
+            # older checkpoints recorded only whole segments, at THEIR OWN
+            # segment size (falling back to the current one, best effort)
+            start_meta.get("segments_done", 0)
+            * start_meta.get("segment_steps", segment_steps),
         )
     )
     n_seg = int(start_meta.get("segments_done", 0))

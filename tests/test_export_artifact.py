@@ -38,10 +38,14 @@ def test_export_roundtrip_matches_direct(tmp_path):
 
     direct = batched_solver_sweep(problem, "RIPTRM", option, max_steps=200)
     x_d, y_d, ks_d, res_d = direct(xs, ys)
-    # same program, serialized: bit-identical results expected
-    np.testing.assert_array_equal(np.asarray(ks_a), np.asarray(ks_d))
-    np.testing.assert_allclose(np.asarray(x_a), np.asarray(x_d), rtol=0, atol=0)
-    np.testing.assert_allclose(np.asarray(res_a), np.asarray(res_d), rtol=0, atol=0)
+    # The serialized artifact and the fresh jit are separate compilations:
+    # compare solutions at solver tolerance, not step-exact trajectories
+    # (CLAUDE.md invariant; a jax/XLA upgrade may legitimately re-lower
+    # the deserialized StableHLO differently).
+    np.testing.assert_allclose(np.asarray(x_a), np.asarray(x_d), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(res_a), np.asarray(res_d), rtol=1e-2, atol=1e-9
+    )
     assert np.all(np.asarray(res_a) < 1e-3)
 
 
@@ -73,3 +77,23 @@ def test_export_pytree_points(tmp_path):
     x, y, ks, res = run(xs0, ys0)
     assert np.all(np.isfinite(np.asarray(res)))
     assert len(manifest["x_shapes"]) == 3  # J, R, Q leaves
+
+
+def test_manifest_validation(tmp_path):
+    """Wrong batch size or dtype fails with a clear manifest message, not
+    an opaque StableHLO error."""
+    import pytest
+
+    problem, xs, ys = _setup()
+    path = str(tmp_path / "v.stablehlo")
+    export_sweep(
+        problem, "RIPTRM",
+        {"maxiter": 5, "tolresid": 1e-3, "TRS_solver": "tCG",
+         "second_order_stationarity": False},
+        path, batch=B, max_steps=20,
+    )
+    run, _ = load_sweep(path)
+    with pytest.raises(ValueError, match="shapes"):
+        run(xs[:2], ys[:2])  # wrong batch
+    with pytest.raises(ValueError, match="dtypes"):
+        run(xs.astype(jnp.float32), ys.astype(jnp.float32))
