@@ -170,3 +170,10 @@ def _skew_basis(d: int, dtype=jnp.float64) -> Array:
             out[k, j, i] = -inv_sqrt2
             k += 1
     return jnp.asarray(out, dtype=dtype)
+
+
+def orthonormal_completion(x):
+    """X_perp in R^{n x (n-p)}: orthonormal completion of the orthonormal
+    frame x via complete QR (shared by Grassmann/Stiefel bases)."""
+    q, _ = jnp.linalg.qr(x, mode="complete")
+    return q[:, x.shape[1]:]

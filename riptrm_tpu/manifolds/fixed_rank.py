@@ -138,11 +138,10 @@ class FixedRankEmbedded(Manifold):
         return (qu, s, qv)
 
     def random_tangent(self, key, x):
-        k1, k2, k3 = jax.random.split(key, 3)
         dt = x[1].dtype
         t = self.proj(
             x,
-            jax.random.normal(k1, (self.m, self.n), dtype=dt),
+            jax.random.normal(key, (self.m, self.n), dtype=dt),
         )
         nrm = self.norm(x, t)
         return jax.tree.map(lambda a: a / nrm, t)

@@ -19,7 +19,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from riptrm_tpu.manifolds.base import Manifold
+from riptrm_tpu.manifolds.base import Manifold, orthonormal_completion
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,9 +67,7 @@ class Grassmann(Manifold):
         return v / self.norm(x, v)
 
     def _perp(self, x):
-        """Orthonormal completion X_perp in R^{n x (n-p)} via complete QR."""
-        q, _ = jnp.linalg.qr(x, mode="complete")
-        return q[:, self.p :]
+        return orthonormal_completion(x)
 
     def basis(self, x):
         x = jnp.asarray(x)

@@ -36,13 +36,25 @@ class Product(Manifold):
         return math.sqrt(sum(m.typical_dist**2 for m in self.manifolds))
 
     def _zip(self, *trees):
-        return zip(self.manifolds, *trees)
+        # strict: a wrong-arity point/tangent must raise, not be silently
+        # truncated into a partial (wrong) result
+        return zip(self.manifolds, *trees, strict=True)
 
     def inner(self, x, u, v):
         return sum(m.inner(xi, ui, vi) for m, xi, ui, vi in self._zip(x, u, v))
 
     def proj(self, x, v):
         return tuple(m.proj(xi, vi) for m, xi, vi in self._zip(x, v))
+
+    def proj_tangent(self, x, t):
+        # Delegate per component: for FixedRankEmbedded components this
+        # differs from proj (structured tangents; base.py:81-85).
+        return tuple(m.proj_tangent(xi, ti) for m, xi, ti in self._zip(x, t))
+
+    def transport(self, x, y, v):
+        return tuple(
+            m.transport(xi, yi, vi) for m, xi, yi, vi in self._zip(x, y, v)
+        )
 
     def retract(self, x, v):
         return tuple(m.retract(xi, vi) for m, xi, vi in self._zip(x, v))

@@ -14,7 +14,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from riptrm_tpu.manifolds.base import Manifold, _skew_basis, skew, sym
+from riptrm_tpu.manifolds.base import Manifold, _skew_basis, skew, sym, orthonormal_completion
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,11 +50,11 @@ class Stiefel(Manifold):
         return self.proj(x, egrad)
 
     def ehess2rhess(self, x, egrad, ehess, v):
-        # standard embedded-Stiefel Weingarten term
-        return self.proj(x, ehess) - v @ sym(x.T @ egrad)
-
-    def transport(self, x, y, v):
-        return self.proj(y, v)
+        # Standard embedded-Stiefel Weingarten form (Manopt/pymanopt):
+        # the OUTER projection is part of the formula — without it the
+        # result carries a spurious normal component x*sym(x'v*sym(x'g))
+        # that tCG would accumulate in its residual.
+        return self.proj(x, ehess - v @ sym(x.T @ egrad))
 
     def random_point(self, key):
         a = jax.random.normal(key, (self.n, self.p))
@@ -70,8 +70,7 @@ class Stiefel(Manifold):
         X_perp B (B arbitrary), both Frobenius-orthonormal."""
         x = jnp.asarray(x)
         n, p = self.n, self.p
-        q, _ = jnp.linalg.qr(x, mode="complete")
-        xp = q[:, p:]  # [n, n-p] orthonormal completion
+        xp = orthonormal_completion(x)  # [n, n-p]
         sk = _skew_basis(p, dtype=x.dtype)  # [p(p-1)/2, p, p]
         part1 = jnp.einsum("ij,kjl->kil", x, sk)  # X A_k, orthonormal
         eye = jnp.eye(p, dtype=x.dtype)

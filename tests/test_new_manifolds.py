@@ -159,3 +159,52 @@ def test_riptrm_solves_on_stiefel():
     x = np.asarray(out.x)
     np.testing.assert_allclose(x.T @ x, np.eye(2), atol=1e-10)
     assert x.min() > -0.0100001
+
+
+def test_stiefel_rhess_is_tangent():
+    """Regression: ehess2rhess must return a TANGENT vector (the outer
+    projection is part of the Manopt/pymanopt Weingarten form; without it
+    a spurious normal component x*sym(x'v*sym(x'g)) leaks into tCG's
+    residual)."""
+    import jax
+
+    from riptrm_tpu.manifolds.stiefel import Stiefel
+
+    man = Stiefel(6, 3)
+    k = jax.random.split(jax.random.PRNGKey(0), 4)
+    x = man.random_point(k[0])
+    v = man.random_tangent(k[1], x)
+    egrad = jax.random.normal(k[2], (6, 3))
+    ehess = jax.random.normal(k[3], (6, 3))
+    h = man.ehess2rhess(x, egrad, ehess, v)
+    xh = np.asarray(x).T @ np.asarray(h)
+    np.testing.assert_allclose(xh + xh.T, 0.0, atol=1e-12)
+
+
+def test_product_delegates_proj_tangent_and_transport():
+    """Product must route proj_tangent/transport to each component (a
+    FixedRankEmbedded component's differ from proj), and reject
+    wrong-arity tuples instead of silently truncating."""
+    import jax
+    import pytest
+
+    from riptrm_tpu.manifolds.fixed_rank import FixedRankEmbedded
+    from riptrm_tpu.manifolds.product import Product
+    from riptrm_tpu.manifolds.sphere import Sphere
+
+    man = Product([Sphere(5), FixedRankEmbedded(6, 4, 2)])
+    k = jax.random.split(jax.random.PRNGKey(1), 4)
+    x = man.random_point(k[0])
+    v = man.random_tangent(k[1], x)
+    # proj_tangent on a structured tangent must not crash (FixedRank's
+    # proj takes an ambient matrix, not an (M, Up, Vp) tuple)
+    t = man.proj_tangent(x, v)
+    assert len(t) == 2
+    y = man.retract(x, jax.tree.map(lambda a: 0.1 * a, v))
+    w = man.transport(x, y, v)
+    # transported vector is tangent at y (re-projection is idempotent)
+    w2 = man.proj_tangent(y, w)
+    for a, b in zip(jax.tree.leaves(w), jax.tree.leaves(w2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+    with pytest.raises(ValueError):
+        man.inner(x, v, (v[0],))  # wrong arity must raise (strict zip)
