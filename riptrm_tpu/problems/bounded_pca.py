@@ -19,6 +19,8 @@ second-order certificates), RIPM both modes, RSQO, RALM.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -83,16 +85,29 @@ def generate_instance(key, dim: int, snr: float = 0.5, delta: float = 0.7):
     return gen(key, dim, snr, delta)
 
 
-def generate_initialpoint(key, n: int, p: int, bound: float = 0.8, margin: float = 0.05):
+def generate_initialpoint(key, n: int, p: int, bound: float = 0.8, margin: float = 0.05, max_draws: int = 20_000):
     """Strictly feasible orthonormal start: QR of a Gaussian matrix,
     redrawn until every |entry| clears the bound by ``margin`` (entries of
     a random orthonormal frame concentrate at O(sqrt(log(np)/n)), so for
     reasonable (n, p, bound) the first draw almost always passes)."""
+    if bound - margin <= 1.0 / math.sqrt(n):
+        # every orthonormal column has max|entry| >= 1/sqrt(n): the
+        # acceptance condition would be unsatisfiable and the redraw loop
+        # would never terminate
+        raise ValueError(
+            f"bound - margin = {bound - margin:.3g} <= 1/sqrt(n) = "
+            f"{1.0 / math.sqrt(n):.3g}: no orthonormal frame can satisfy it"
+        )
     cpu = jax.devices("cpu")[0]
     key = jax.device_put(key, cpu)
     with jax.default_device(cpu):
-        while True:
+        for _ in range(max_draws):
             key, sub = jax.random.split(key)
             q, _ = jnp.linalg.qr(jax.random.normal(sub, (n, p)))
             if float(jnp.max(jnp.abs(q))) <= bound - margin:
                 return np.asarray(q)
+    raise ValueError(
+        f"no feasible start found in {max_draws} draws (n={n}, p={p}, "
+        f"bound={bound}, margin={margin}): the bound is too tight for "
+        "random orthonormal frames"
+    )

@@ -119,11 +119,23 @@ def generate_initialpoint(key, m: int, n: int, k: int, lb: float = 0.0, margin: 
             ww = jax.random.normal(k3, (m, k - 1))
             hh = jax.random.normal(jax.random.fold_in(k3, 1), (n, k - 1))
             pert = ww @ hh.T
+        if float(jnp.min(base)) <= lb + margin:
+            # halving eps only drives x toward `base`; if base itself
+            # cannot clear the bound the loop would never terminate —
+            # lift the rank-1 component instead of hanging
+            base = base + (lb + margin - float(jnp.min(base))) + 0.1
         eps = 0.1
         x = base + eps * pert
-        while float(jnp.min(x)) <= lb + margin:
+        for _ in range(200):
+            if float(jnp.min(x)) > lb + margin:
+                break
             eps *= 0.5
             x = base + eps * pert
+        else:
+            raise ValueError(
+                f"no strictly feasible rank-{k} start found (lb={lb}, "
+                f"margin={margin})"
+            )
         u, s, vt = jnp.linalg.svd(x, full_matrices=False)
         return (
             np.asarray(u[:, :k]),

@@ -103,9 +103,12 @@ def _generate_instance(key, dim, snr, delta):
 
 
 def generate_initialpoint(key, dim: int, feasible: bool = True):
-    """Random unit-norm initial point (reference ``generator.py:34-54``)."""
-    x0 = jax.random.uniform(key, (dim,))
-    x0 = x0 / jnp.linalg.norm(x0)
-    if feasible:
-        x0 = jnp.abs(x0)
+    """Random unit-norm initial point (reference ``generator.py:34-54``).
+    Runs on the CPU backend like every generator here (CLAUDE.md)."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        x0 = jax.random.uniform(jax.device_put(key, cpu), (dim,))
+        x0 = x0 / jnp.linalg.norm(x0)
+        if feasible:
+            x0 = jnp.abs(x0)
     return np.asarray(x0)

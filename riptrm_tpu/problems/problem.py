@@ -32,10 +32,6 @@ from riptrm_tpu.manifolds.base import Manifold
 PyTree = Any
 
 
-def _tangent_like(x):
-    return jax.tree.map(jnp.zeros_like, x)
-
-
 @dataclasses.dataclass(frozen=True)
 class Problem:
     manifold: Manifold

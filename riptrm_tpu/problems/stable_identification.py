@@ -107,13 +107,19 @@ def make_problem(
     man = Product(
         [SkewSymmetric(d), SymmetricPositiveDefinite(d), SymmetricPositiveDefinite(d)]
     )
+    if not x_trajs and not cost_zero:
+        raise ValueError(
+            "make_problem got no trajectories with cost_zero=False: the "
+            "least-squares cost would be 0/0 = NaN under jit; pass "
+            "cost_zero=True for pure feasibility problems"
+        )
     xs, xps = [], []
     for xt in x_trajs:
         a, b = _split_xxp(np.asarray(xt))
         xs.append(a)
         xps.append(b)
-    X = jnp.asarray(np.hstack(xs), dtype=dtype) if xs else jnp.zeros((d, 0))
-    XP = jnp.asarray(np.hstack(xps), dtype=dtype) if xps else jnp.zeros((d, 0))
+    X = jnp.asarray(np.hstack(xs), dtype=dtype) if xs else jnp.zeros((d, 0), dtype=dtype)
+    XP = jnp.asarray(np.hstack(xps), dtype=dtype) if xps else jnp.zeros((d, 0), dtype=dtype)
     n_cols = X.shape[1]
     if mesh is not None and n_cols:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -215,13 +221,25 @@ def load_problem(
 # ----------------------------------------------------------------------
 # Dataset generation (generator.py parity)
 # ----------------------------------------------------------------------
+def _cpu_key(key):
+    """Data generation runs on the host CPU backend (CLAUDE.md): a
+    TPU-resident key would drag every split/draw onto the remote chip,
+    paying a fresh remote compile per program."""
+    import jax
+
+    return jax.device_put(key, jax.devices("cpu")[0])
+
+
 def generate_true_system(key, d: int, scaling: float = 1.0):
     """``generate_trueJRQA`` (generator.py:57-66)."""
+    import jax
+
     man = Product([SkewSymmetric(d), SymmetricPositiveDefinite(d), SymmetricPositiveDefinite(d)])
     sqrt_s = math.sqrt(scaling)
-    J, R, Q = man.random_point(key)
-    J, R, Q = sqrt_s * J, sqrt_s * R, sqrt_s * Q
-    A = (J - R) @ Q
+    with jax.default_device(jax.devices("cpu")[0]):
+        J, R, Q = man.random_point(_cpu_key(key))
+        J, R, Q = sqrt_s * J, sqrt_s * R, sqrt_s * Q
+        A = (J - R) @ Q
     return np.asarray(J), np.asarray(R), np.asarray(Q), np.asarray(A)
 
 
@@ -384,13 +402,17 @@ def generate_interior_initialpoint_lsq(
     def rgrad(x):
         return man.egrad2rgrad(x, egrad(x))
 
+    key = _cpu_key(key)
+    cpu = jax.devices("cpu")[0]
     for _ in range(max_tries):
-        key, sub = jax.random.split(key)
-        J, R, Q = man.random_point(sub)
-        x0 = (sqrt_s * J, sqrt_s * R, sqrt_s * Q)
-        res = conjugate_gradient(
-            man, cost, rgrad, x0, max_iterations=cg_iters, min_gradient_norm=1e-12
-        )
+        with jax.default_device(cpu):
+            key, sub = jax.random.split(key)
+            J, R, Q = man.random_point(sub)
+            x0 = (sqrt_s * J, sqrt_s * R, sqrt_s * Q)
+            res = conjugate_gradient(
+                man, cost, rgrad, x0,
+                max_iterations=cg_iters, min_gradient_norm=1e-12,
+            )
         Jf, Rf, Qf = (np.asarray(a) for a in res.point)
         A = (Jf - Rf) @ Qf
         orig = make_problem(d, [], constset, (Jf, Rf, Qf), cost_zero=True)
@@ -421,15 +443,18 @@ def generate_interior_initialpoint(
     option = {"maxtime": 100, "maxiter": 4, "tolresid": 1e-2, "verbosity": 0}
     option.update(ralm_option or {})
 
+    key = _cpu_key(key)
+    cpu = jax.devices("cpu")[0]
     for attempt in range(max_tries):
-        key, sub = jax.random.split(key)
-        J, R, Q = man.random_point(sub)
-        x_start = (sqrt_s * J, sqrt_s * R, sqrt_s * Q)
-        problem = make_problem(
-            d, [], constset, x_start, h=0.02,
-            interior_scaling=interior_scaling, cost_zero=True,
-        )
-        out = RALM(option).run(problem)
+        with jax.default_device(cpu):
+            key, sub = jax.random.split(key)
+            J, R, Q = man.random_point(sub)
+            x_start = (sqrt_s * J, sqrt_s * R, sqrt_s * Q)
+            problem = make_problem(
+                d, [], constset, x_start, h=0.02,
+                interior_scaling=interior_scaling, cost_zero=True,
+            )
+            out = RALM(option).run(problem)
         Jf, Rf, Qf = (np.asarray(a) for a in out.x)
         A = (Jf - Rf) @ Qf
         stable = np.all(np.real(np.linalg.eigvals(A)) < 0)
