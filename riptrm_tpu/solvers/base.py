@@ -230,3 +230,47 @@ def maybe_wandb_finish(option: dict):
     wandb = _wandb()
     if wandb is not None:
         wandb.finish()
+
+
+def compiled_best_while(step1, state0, target, max_steps, best0):
+    """THE shared compiled solve loop for all four solvers (the
+    freeze-when-done, NaN-robust-running-min, and per-lane-target-stop
+    invariants live here and nowhere else).
+
+    ``step1(st) -> (new_st, res, counted, stop)``: one solver step with its
+    residual, whether that residual COUNTS toward the protocol best (RIPTRM
+    counts inner-converged steps only, matching the reference analyzers'
+    row filter), and the solver's own stopping predicate.
+
+    ``best0`` seeds the running minimum with the INITIAL point's residual:
+    the host protocol's best-within-budget includes the iteration-0 row, so
+    a lane whose target equals its starting residual must stop immediately
+    rather than burn the whole budget.
+
+    Returns (state, steps, done, best).
+    """
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    def cond(carry):
+        st, k, done, best = carry
+        return (~done) & (k < max_steps)
+
+    def body(carry):
+        # Freeze per-lane state when done: under vmap the loop runs until
+        # ALL lanes finish; without the freeze finished lanes would keep
+        # stepping past their stopping point.
+        st, k, done, best = carry
+        new_st, res, counted, stop = step1(st)
+        # strict-compare min: a NaN residual (diverged step) must not
+        # poison the running best (jnp.minimum propagates NaN)
+        best_new = _jnp.where((~done) & counted & (res < best), res, best)
+        new_done = done | stop | (best_new <= target)
+        st_out = _jax.tree.map(lambda o, n: _jnp.where(done, o, n), st, new_st)
+        return (st_out, k + _jnp.where(done, 0, 1), new_done, best_new)
+
+    done0 = best0 <= target
+    st, k, done, best = _jax.lax.while_loop(
+        cond, body, (state0, _jnp.asarray(0), done0, best0)
+    )
+    return st, k, done, best

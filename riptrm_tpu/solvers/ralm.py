@@ -214,38 +214,32 @@ def init_state(problem, option):
 
 def solve_compiled_best(problem, option, max_steps: int):
     """Compiled RALM solve tracking min-KKT-residual-so-far (the protocol
-    metric); stops early once ``best <= target``.  Returns
-    solve(state, target) -> (state, steps, best).  This is the ONE loop
-    body (freeze-when-done invariant lives here); ``solve_compiled``
-    delegates with target = -inf."""
+    metric, seeded with the initial residual); stops early once
+    ``best <= target``.  Returns solve(state, target) -> (state, steps,
+    best).  The loop body is the shared ``compiled_best_while``;
+    ``solve_compiled`` delegates with target = -inf."""
     from riptrm_tpu.ops.kkt import compute_residual
-    from riptrm_tpu.solvers.base import merge_options
+    from riptrm_tpu.solvers.base import compiled_best_while, merge_options
 
     option = merge_options(default_option(), option or {})
     step = make_step(problem, option)
     tolresid = option["tolresid"]
     maxiter = option["maxiter"]
+    unbd = option["LagmultUnbdUpdate"]
+
+    def residual(st):
+        y_eval = st.y_unbd if unbd else st.y
+        z_eval = st.z_unbd if unbd else st.z
+        return compute_residual(problem, st.x, y_eval, z_eval)[0]
+
+    def step1(st):
+        new_st, _ = step(st)
+        res = residual(new_st)
+        return new_st, res, jnp.asarray(True), res <= tolresid
 
     def solve(state, target):
-        def cond(carry):
-            st, k, done, best = carry
-            return (~done) & (k < max_steps) & (k < maxiter)
-
-        def body(carry):
-            # freeze per-lane state when done (vmapped lanes run in lockstep)
-            st, k, done, best = carry
-            new_st, _ = step(st)
-            y_eval = new_st.y_unbd if option["LagmultUnbdUpdate"] else new_st.y
-            z_eval = new_st.z_unbd if option["LagmultUnbdUpdate"] else new_st.z
-            res = compute_residual(problem, new_st.x, y_eval, z_eval)[0]
-            best_new = jnp.where((~done) & (res < best), res, best)
-            new_done = done | (res <= tolresid) | (best_new <= target)
-            st_out = jax.tree.map(lambda o, n: jnp.where(done, o, n), st, new_st)
-            return (st_out, k + jnp.where(done, 0, 1), new_done, best_new)
-
-        inf = jnp.asarray(jnp.inf, dtype=jnp.asarray(state.rho).dtype)
-        st, k, _, best = jax.lax.while_loop(
-            cond, body, (state, jnp.asarray(0), jnp.asarray(False), inf)
+        st, k, _, best = compiled_best_while(
+            step1, state, target, min(max_steps, maxiter), residual(state)
         )
         return st, k, best
 

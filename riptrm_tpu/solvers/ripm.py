@@ -438,38 +438,31 @@ def init_state(problem, option):
 
 def solve_compiled_best(problem, option, max_steps: int):
     """Compiled RIPM solve tracking min-KKT-residual-so-far (the protocol
-    metric); stops early once ``best <= target``.  Returns
-    solve(state, tau_1, tau_2, target) -> (state, steps, best).  This is
-    the ONE loop body (freeze-when-done invariant lives here);
-    ``solve_compiled`` delegates with target = -inf."""
+    metric, seeded with the initial residual); stops early once
+    ``best <= target``.  Returns solve(state, tau_1, tau_2, target) ->
+    (state, steps, best).  The loop body is the shared
+    ``compiled_best_while``; ``solve_compiled`` delegates with
+    target = -inf."""
     from riptrm_tpu.ops.kkt import compute_residual
-    from riptrm_tpu.solvers.base import merge_options
+    from riptrm_tpu.solvers.base import compiled_best_while, merge_options
 
     option = merge_options(default_option(), option or {})
     step = make_step(problem, option)
     tolresid = option["tolresid"]
     maxiter = option["maxiter"]
 
+    def residual(st):
+        return compute_residual(problem, st.x, st.z, st.y)[0]
+
     def solve(state, tau_1, tau_2, target):
-        def cond(carry):
-            st, k, done, best = carry
-            return (~done) & (k < max_steps)
-
-        def body(carry):
-            # freeze per-lane state when done (vmapped lanes run in lockstep)
-            st, k, done, best = carry
+        def step1(st):
             new_st, _ = step(st, tau_1, tau_2)
-            res = compute_residual(problem, new_st.x, new_st.z, new_st.y)[0]
-            best_new = jnp.where((~done) & (res < best), res, best)
-            new_done = done | (res <= tolresid) | (
-                new_st.iteration >= maxiter
-            ) | (best_new <= target)
-            st_out = jax.tree.map(lambda o, n: jnp.where(done, o, n), st, new_st)
-            return (st_out, k + jnp.where(done, 0, 1), new_done, best_new)
+            res = residual(new_st)
+            stop = (res <= tolresid) | (new_st.iteration >= maxiter)
+            return new_st, res, jnp.asarray(True), stop
 
-        inf = jnp.asarray(jnp.inf, dtype=state.phi.dtype)
-        st, k, _, best = jax.lax.while_loop(
-            cond, body, (state, jnp.asarray(0), jnp.asarray(False), inf)
+        st, k, _, best = compiled_best_while(
+            step1, state, target, max_steps, residual(state)
         )
         return st, k, best
 

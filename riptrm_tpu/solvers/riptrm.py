@@ -824,47 +824,37 @@ class RIPTRM:
 
     # ------------------------------------------------------------------
     def _solve_loop(self, problem, max_steps: int):
-        """The ONE compiled solve loop (freeze-when-done invariant lives
-        here): solve(state, target) -> (state, steps, done, best).  Both
-        public variants below delegate to it."""
+        """Compiled solve loop: solve(state, target) -> (state, steps,
+        done, best).  Both public variants below delegate to it; the
+        freeze/best/target machinery is the shared
+        ``base.compiled_best_while`` (``solve_compiled_traced`` keeps its
+        own loop because of the trace buffers — keep its stop logic in
+        sync with ``step1`` below)."""
+        from riptrm_tpu.ops.kkt import compute_residual
+        from riptrm_tpu.solvers.base import compiled_best_while
+
         option = self.option
         step = make_step(problem, option)
         tolresid = option["tolresid"]
         maxiter = option["maxiter"]
 
+        def step1(st):
+            new_st, info = step(st)
+            # The protocol metric counts only inner-converged steps (the
+            # reference's analyzers filter RIPTRM rows to
+            # ``inner_status == converged``) — plus the iteration-0 row,
+            # which seeds best below.
+            counted = info["converged"]
+            stop = (
+                info["converged"] & (info["residual"] <= tolresid)
+            ) | (new_st.outer_iter >= maxiter)
+            return new_st, info["residual"], counted, stop
+
         def solve(state, target):
-            def cond(carry):
-                st, k, done, best = carry
-                return (~done) & (k < max_steps)
-
-            def body(carry):
-                # Freeze the state once done: under vmap the loop runs
-                # until ALL lanes finish, and without the freeze finished
-                # lanes would keep stepping past their stopping point.
-                st, k, done, best = carry
-                new_st, info = step(st)
-                # The protocol metric counts only inner-converged steps
-                # (the reference's analyzers filter RIPTRM rows to
-                # ``inner_status == converged``).
-                # NaN-robust running min: a NaN residual (diverged
-                # step) must not poison best (jnp.minimum propagates NaN).
-                counted = (~done) & info["converged"]
-                best_new = jnp.where(
-                    counted & (info["residual"] < best), info["residual"], best
-                )
-                new_done = done | (
-                    info["converged"] & (info["residual"] <= tolresid)
-                ) | (new_st.outer_iter >= maxiter) | (best_new <= target)
-                st_out = jax.tree.map(
-                    lambda o, n: jnp.where(done, o, n), st, new_st
-                )
-                return (st_out, k + jnp.where(done, 0, 1), new_done, best_new)
-
-            inf = jnp.asarray(jnp.inf, dtype=state.mu.dtype)
-            state, k, done, best = jax.lax.while_loop(
-                cond, body, (state, jnp.asarray(0), jnp.asarray(False), inf)
-            )
-            return state, k, done, best
+            best0 = compute_residual(
+                problem, state.x, state.y, jnp.zeros((0,))
+            )[0]
+            return compiled_best_while(step1, state, target, max_steps, best0)
 
         return solve
 

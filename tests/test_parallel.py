@@ -424,3 +424,26 @@ def test_certify_second_order_ratio_cap(setup):
     # curvature at the Lagrangian scale (|Z| ~ O(1)), and nonnegative
     # at a strict minimizer
     assert np.all(capped > -1e-6) and np.all(np.abs(capped) < 1e3)
+
+
+def test_protocol_best_counts_initial_residual(setup):
+    """The protocol metric includes the iteration-0 row: a lane whose
+    target equals its STARTING residual must stop immediately instead of
+    burning the budget (best is seeded with the initial residual)."""
+    from riptrm_tpu.ops.kkt import compute_residual
+    from riptrm_tpu.parallel.sweep import batched_protocol_sweep
+
+    problem, xs, ys = setup
+    res0 = jax.vmap(
+        lambda x, y: compute_residual(problem, x, y, jnp.zeros((0,)))[0]
+    )(xs, ys)
+    fn = batched_protocol_sweep(
+        problem,
+        "RIPTRM",
+        {"maxiter": 60, "tolresid": 1e-9, "TRS_solver": "tCG",
+         "second_order_stationarity": False},
+        max_steps=400,
+    )
+    _, _, ks, best = fn(xs, ys, res0)  # target = starting residual
+    assert np.all(np.asarray(ks) == 0)
+    np.testing.assert_allclose(np.asarray(best), np.asarray(res0), rtol=1e-12)
