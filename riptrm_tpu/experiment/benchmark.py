@@ -33,6 +33,13 @@ def jobs_for(problem: str, overrides):
     return sweep_configs(path, overrides)
 
 
+def _next_arg(it, flag):
+    try:
+        return next(it)
+    except StopIteration:
+        raise SystemExit(f"{flag} requires a value") from None
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     from riptrm_tpu.experiment.cfg import maybe_help
@@ -50,15 +57,15 @@ def main(argv=None):
         if a == "--no-force-cpu":
             force_cpu = False
         elif a == "--budget":
-            budget = float(next(it))
+            budget = float(_next_arg(it, a))
         elif a == "--problems":
-            problems = next(it).split(",")
+            problems = _next_arg(it, a).split(",")
         elif a == "--solvers":
-            solvers = next(it).split(",")
+            solvers = _next_arg(it, a).split(",")
         elif a == "--scale":
-            scale = float(next(it))
+            scale = float(_next_arg(it, a))
         elif a == "--summary":
-            summary_path = next(it)
+            summary_path = _next_arg(it, a)
         else:
             extra.append(a)
 

@@ -132,7 +132,11 @@ def build_sweep(problem_name: str, size: int, batch: int, seed: int = 0):
     if problem_name == "BoundedPCA":
         from riptrm_tpu.problems import bounded_pca
 
-        p = max(2, size // 16)  # St(n, p) with a small frame
+        if size < 3:
+            raise ValueError(
+                "BoundedPCA needs --size >= 3 (St(n, p) needs n > p >= 2)"
+            )
+        p = min(max(2, size // 16), size - 1)  # St(n, p) with a small frame
         with jax.default_device(_cpu_device()):
             # Distinct upfront subkeys: the instance key must not be reused
             # for starts, and the splits must run on the CPU backend.
@@ -151,7 +155,13 @@ def build_sweep(problem_name: str, size: int, batch: int, seed: int = 0):
     if problem_name == "LowRank":
         from riptrm_tpu.problems import low_rank
 
+        if size < 5:
+            raise ValueError(
+                "LowRank needs --size >= 5 (rank must be < min(m, n) for a "
+                "genuine fixed-rank manifold)"
+            )
         m, n, rank = size, max(2, size // 2), max(2, size // 8)
+        rank = min(rank, n - 1, m - 1)
         with jax.default_device(_cpu_device()):
             ks = jax.random.split(jax.device_put(key, _cpu_device()), batch + 1)
             data = low_rank.generate_instance(ks[0], m, n, rank)
@@ -262,6 +272,12 @@ def main(argv=None):
         parser.error(
             "--pallas applies to the tCG subproblem only; the exact mode "
             "solves the TRS by eigendecomposition (no kernel to route to)"
+        )
+    if args.exact and args.solver != "RIPTRM":
+        parser.error(
+            "--exact selects RIPTRM's Exact_RepMat mode; the baseline "
+            "solvers ignore those options, and reporting mode='exact' for "
+            "them would fabricate benchmark rows"
         )
 
     import jax

@@ -124,8 +124,10 @@ def load_sweep(path: str):
                     f"(batch={manifest['batch']}), got {got}"
                 )
             if "x_dtypes" in manifest:
-                got_dt = [str(np.asarray(l).dtype) for l in leaves] + [
-                    str(np.asarray(ys0).dtype)
+                # result_type reads the dtype without a device->host copy
+                # (np.asarray would transfer and sync every leaf per call)
+                got_dt = [str(np.result_type(l)) for l in leaves] + [
+                    str(np.result_type(ys0))
                 ]
                 want_dt = manifest["x_dtypes"] + [manifest["y_dtype"]]
                 if got_dt != want_dt:

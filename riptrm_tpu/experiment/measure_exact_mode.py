@@ -14,10 +14,9 @@ import numpy as np
 
 
 def main(ns):
-    import jax
+    from riptrm_tpu.config import setup
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax = setup(x64=False)  # compile cache on the default (TPU) device
     import jax.numpy as jnp
 
     from riptrm_tpu.problems import nonneg_pca
@@ -83,5 +82,8 @@ def main(ns):
 
 
 if __name__ == "__main__":
+    from riptrm_tpu.experiment.cfg import maybe_help
+
+    maybe_help(sys.argv[1:], __doc__)
     ns = [int(a) for a in sys.argv[1:]] or [200, 500, 1000]
     main(ns)

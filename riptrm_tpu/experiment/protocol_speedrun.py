@@ -48,6 +48,13 @@ def stack_points(cfgs):
     return problems[0], xs0, ys0, [str(c.problem_initialpoint) for c in cfgs]
 
 
+def _next_arg(it, flag):
+    try:
+        return next(it)
+    except StopIteration:
+        raise SystemExit(f"{flag} requires a value") from None
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     from riptrm_tpu.experiment.cfg import maybe_help
@@ -62,24 +69,27 @@ def main(argv=None):
     it = iter(argv)
     for a in it:
         if a == "--problems":
-            problems = next(it).split(",")
+            problems = _next_arg(it, a).split(",")
         elif a == "--summary":
-            summary_path = next(it)
+            summary_path = _next_arg(it, a)
         elif a == "--out":
-            out_path = next(it)
+            out_path = _next_arg(it, a)
         elif a == "--slack":
-            slack = float(next(it))
+            slack = float(_next_arg(it, a))
         elif a == "--max-steps":
-            max_steps = int(next(it))
+            max_steps = int(_next_arg(it, a))
         elif a == "--no-force-cpu":
             force_cpu = False
         else:
             raise SystemExit(f"unknown arg {a}")
 
-    if force_cpu:
-        from riptrm_tpu.config import setup
+    # x64 + the persistent compile cache are required either way: the
+    # reference residual targets are f64-deep (f32 lanes could never reach
+    # them and would burn the full schedule), and axon remote compiles are
+    # 5-500 s without the cache (CLAUDE.md).
+    from riptrm_tpu.config import setup
 
-        setup(cpu=True)
+    setup(cpu=force_cpu)
     import jax
     import jax.numpy as jnp
 
