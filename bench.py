@@ -198,8 +198,10 @@ def main():
     fetch_overhead = min(fetch_ts)
 
     # ---- 2. NumPy host baseline for the same chained matvec -------------
-    # Host-only and cheap; runs before the compile-heavy device sections so
-    # the headline value/vs_baseline are final even on a truncated emit.
+    # Host-only and cheap; runs right after the headline chain so the
+    # headline value/vs_baseline are finalized here, before the remaining
+    # compile-heavy device sections (3, 4, 4a) — a truncated emit still
+    # carries the headline.
     z_np = np.asarray(data["Z"], dtype=np.float64)
     x_np = np.asarray(x, dtype=np.float64)
     y_np = np.asarray(y, dtype=np.float64)
@@ -348,7 +350,7 @@ def main():
             except Exception as e:
                 batch_stats["batch128_pallas_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    # ---- 3. compiled full solve (marginal over repeated solves) ---------
+    # ---- 4. compiled full solve (marginal over repeated solves) ---------
     # One jit program runs the SAME solve `reps` times inside a lax.scan,
     # each repetition data-dependent on the previous one (x0 is perturbed
     # by eps * <previous result> with eps = 0 at runtime, which XLA cannot

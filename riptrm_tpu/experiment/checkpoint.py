@@ -85,7 +85,15 @@ def load_state(path: str, template: Any) -> Tuple[Any, dict]:
                 1 for k in data.files
                 if k.startswith("leaf_") and k[len("leaf_"):].isdigit()
             )
-            if all(k in data for k in old) and n_old == len(old):
+            # Leaf COUNT alone is not identity: a legacy checkpoint from a
+            # different state layout with the same number of leaves would be
+            # silently misassigned.  Require every positional leaf's shape
+            # to match the template's too.
+            shapes_ok = all(k in data for k in old) and n_old == len(old) and all(
+                data[k].shape == np.asarray(l).shape
+                for k, l in zip(old, leaves)
+            )
+            if shapes_ok:
                 names = old
             else:
                 raise ValueError(

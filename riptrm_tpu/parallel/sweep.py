@@ -296,9 +296,14 @@ def certify_second_order(problem, xs, ys, *, num_iters=64, ratio_cap=None):
     capped certificate is conservative (if it clears -tol, so does the
     true Hw).  Needed at deeply-converged KKT points, where active
     constraints give y/c -> 1/c ~ 1e30 and an uncapped Lanczos returns
-    rounding garbage of that scale.  Nonpositive slacks (boundary /
-    f32-rounded points, incl. the 0/0 case) contribute w = 0 — again the
-    conservative lower bound for y >= 0, c > 0.
+    rounding garbage of that scale.
+
+    The conservativeness argument requires FEASIBILITY (c > 0 for every
+    constraint, so each true barrier weight y/c >= any clamped w): at an
+    infeasible point a constraint with c < 0 has a NEGATIVE true weight,
+    and substituting w = 0 would OVER-report lambda_min.  Capped
+    certificates for lanes with min(slack) <= 0 are therefore returned as
+    NaN — certify such lanes only after restoring feasibility.
     """
     from riptrm_tpu.ops.spectrum import lanczos
     from riptrm_tpu.solvers.riptrm import _barrier_ops
@@ -307,10 +312,12 @@ def certify_second_order(problem, xs, ys, *, num_iters=64, ratio_cap=None):
     k = min(num_iters, man.dim)
 
     def one(x, y):
+        feasible = jnp.array(True)
         if ratio_cap is None:
             _, hw, cx = _barrier_ops(problem, x, y, jnp.zeros((), dtype=y.dtype))
         else:
             c = problem.slack(x)
+            feasible = jnp.min(c) > 0
             w = jnp.where(
                 c > 0, jnp.minimum(y / jnp.where(c > 0, c, 1.0), ratio_cap), 0.0
             )
@@ -330,7 +337,7 @@ def certify_second_order(problem, xs, ys, *, num_iters=64, ratio_cap=None):
         ones_t = man.proj(x, jax.tree.map(jnp.ones_like, x))
         v0 = jax.tree.map(lambda a, b: a + 0.1 * b, cx, ones_t)
         _, _, ritz = lanczos(hw, v0, lambda u, t: man.inner(x, u, t), k)
-        return ritz[0]
+        return jnp.where(feasible, ritz[0], jnp.nan)
 
     return jax.jit(jax.vmap(one))(xs, ys)
 
@@ -384,6 +391,30 @@ def make_segment_solver(problem, option, segment_steps: int):
     return jax.jit(jax.vmap(one))
 
 
+def _sweep_identity(problem, option, xs0, ys0) -> str:
+    """Fingerprint of a checkpointed sweep's inputs.
+
+    A checkpoint resumed at the same path silently DISCARDS the caller's
+    ``xs0``/``ys0``; if the path were reused for a different sweep whose
+    state happens to have the same shapes, the wrong state would be resumed
+    with no error.  Stamp the identity (initial points, non-callable solver
+    options, problem dims) into the checkpoint meta and refuse to resume on
+    mismatch.
+    """
+    import hashlib
+
+    h = hashlib.sha256()
+    for leaf in jax.tree.leaves(xs0) + jax.tree.leaves(ys0):
+        arr = np.ascontiguousarray(np.asarray(leaf))
+        h.update(str(arr.shape).encode())
+        h.update(str(arr.dtype).encode())
+        h.update(arr.tobytes())
+    opts = {k: v for k, v in option.items() if not callable(v)}
+    h.update(repr(sorted(opts.items(), key=lambda kv: kv[0])).encode())
+    h.update(f"m={problem.num_ineq},dim={problem.manifold.dim}".encode())
+    return h.hexdigest()[:16]
+
+
 def run_sweep_checkpointed(
     problem,
     option,
@@ -430,9 +461,27 @@ def run_sweep_checkpointed(
         "ks": jnp.zeros((batch,), jnp.int32),
     }
 
+    sweep_id = _sweep_identity(problem, solver.option, xs0, ys0)
     carry, start_meta = carry0, {}
     if checkpoint_path is not None and os.path.exists(checkpoint_path):
         carry, start_meta = load_state(checkpoint_path, carry0)
+        saved_id = start_meta.get("sweep_id")
+        if saved_id is not None and saved_id != sweep_id:
+            raise ValueError(
+                f"checkpoint {checkpoint_path} was saved by a DIFFERENT sweep "
+                f"(sweep_id {saved_id} != {sweep_id}): refusing to resume — "
+                "the caller's xs0/ys0/option would be silently discarded. "
+                "Use a fresh checkpoint_path (or delete the stale file)."
+            )
+        if saved_id is None:
+            import warnings
+
+            warnings.warn(
+                f"resuming legacy checkpoint {checkpoint_path} with no sweep "
+                "identity stamp: the caller's xs0/ys0 are ignored in favor of "
+                "the checkpointed state.",
+                stacklevel=2,
+            )
     # Budget accounting rides on exact steps_done (recorded in the
     # checkpoint meta), so a resume may use a different segment_steps.
     steps_done = int(
@@ -480,7 +529,12 @@ def run_sweep_checkpointed(
             save_state(
                 checkpoint_path,
                 jax.device_get(carry),
-                dict(meta or {}, segments_done=n_seg, steps_done=steps_done),
+                dict(
+                    meta or {},
+                    segments_done=n_seg,
+                    steps_done=steps_done,
+                    sweep_id=sweep_id,
+                ),
             )
         if on_segment is not None:
             on_segment(n_seg, steps_done, np.asarray(res), np.asarray(done))

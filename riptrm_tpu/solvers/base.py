@@ -207,8 +207,21 @@ def maybe_wandb_init(option: dict, name: str):
         option["wandb_logging"] = False
         return None
     wandb.finish()
+    # Default project name mirrors the reference's template
+    # ``${problem_name}-${problem_instance}-${problem_initialpoint}``
+    # (``/root/reference/src/base/base_solver.py:36-41`` +
+    # ``NonnegPCA/config_simulation.yaml:18``).  Config-driven runs get it
+    # via YAML interpolation; direct-API callers get the same contract from
+    # the problem-identity option keys when present.
+    project = option.get("wandb_project")
+    if not project:
+        keys = ("problem_name", "problem_instance", "problem_initialpoint")
+        if all(k in option for k in keys):
+            project = "-".join(str(option[k]) for k in keys)
+        else:
+            project = "riptrm_tpu"
     return wandb.init(
-        project=option.get("wandb_project", "riptrm_tpu"),
+        project=project,
         name=name,
         config={k: v for k, v in option.items() if not callable(v)},
     )

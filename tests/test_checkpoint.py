@@ -103,3 +103,23 @@ def test_meta_embedded_in_archive(tmp_path):
     os.remove(path + ".meta.json")
     state, meta = load_state(path, {"a": np.zeros(4)})
     assert meta == {"steps_done": 40}
+
+
+def test_legacy_positional_requires_matching_shapes(tmp_path):
+    """A legacy leaf_<i> checkpoint whose leaf COUNT matches but whose
+    shapes do not must be rejected, not silently misassigned."""
+    import json
+
+    path = str(tmp_path / "legacy.npz")
+    np.savez(
+        path,
+        leaf_0=np.zeros((3, 3)),
+        leaf_1=np.zeros(5),
+        __meta__=np.asarray(json.dumps({})),
+    )
+    template = {"a": np.zeros((3, 3)), "b": np.zeros(5)}
+    state, _ = load_state(path, template)  # matching shapes: accepted
+    assert state["a"].shape == (3, 3)
+    bad_template = {"a": np.zeros((4, 4)), "b": np.zeros(5)}
+    with pytest.raises(ValueError, match="different solver-state layout"):
+        load_state(path, bad_template)

@@ -447,3 +447,51 @@ def test_protocol_best_counts_initial_residual(setup):
     _, _, ks, best = fn(xs, ys, res0)  # target = starting residual
     assert np.all(np.asarray(ks) == 0)
     np.testing.assert_allclose(np.asarray(best), np.asarray(res0), rtol=1e-12)
+
+
+def test_checkpoint_identity_mismatch_refuses_resume(setup, tmp_path):
+    """Reusing a checkpoint_path for a DIFFERENT sweep (same state shapes,
+    different initial points) must fail loudly instead of silently
+    discarding the caller's xs0/ys0 and resuming the wrong state."""
+    from riptrm_tpu.parallel.sweep import run_sweep_checkpointed
+
+    problem, xs, ys = setup
+    option = OPTION | {"tolresid": 1e-6, "maxiter": 30}
+    ckpt = str(tmp_path / "sweep.npz")
+    run_sweep_checkpointed(
+        problem, option, xs, ys, max_steps=40, segment_steps=20,
+        checkpoint_path=ckpt,
+    )
+    other_xs = jnp.roll(xs, 1, axis=0)  # same shapes, different sweep
+    with pytest.raises(ValueError, match="sweep_id"):
+        run_sweep_checkpointed(
+            problem, option, other_xs, ys, max_steps=40, segment_steps=20,
+            checkpoint_path=ckpt,
+        )
+    # a different option dict is also a different sweep
+    with pytest.raises(ValueError, match="sweep_id"):
+        run_sweep_checkpointed(
+            problem, option | {"tolresid": 1e-8}, xs, ys,
+            max_steps=40, segment_steps=20, checkpoint_path=ckpt,
+        )
+    # the SAME sweep still resumes fine
+    run_sweep_checkpointed(
+        problem, option, xs, ys, max_steps=40, segment_steps=20,
+        checkpoint_path=ckpt,
+    )
+
+
+def test_certify_ratio_cap_flags_infeasible_lanes(setup):
+    """Capped certificates are conservative ONLY at feasible points; a lane
+    with min(slack) <= 0 must come back NaN, not a certified number."""
+    from riptrm_tpu.parallel.sweep import certify_second_order
+
+    problem, xs, ys = setup
+    bad = np.asarray(xs).copy()
+    bad[0, 0] = -abs(bad[0, 0]) - 0.1  # negative entry => slack < 0
+    bad = bad / np.linalg.norm(bad, axis=1, keepdims=True)
+    out = np.asarray(
+        certify_second_order(problem, jnp.asarray(bad), ys, ratio_cap=1e8)
+    )
+    assert np.isnan(out[0])
+    assert np.all(np.isfinite(out[1:]))
