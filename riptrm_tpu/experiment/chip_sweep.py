@@ -259,13 +259,23 @@ def main(argv=None):
     parser.add_argument("--tolresid", type=float, default=3e-4)
     parser.add_argument("--pallas", action="store_true",
                         help="route tCG through the fused Pallas kernel "
-                             "(sphere-quadratic structure only)")
+                             "(sphere_quadratic and stiefel_bound "
+                             "structures: NonnegPCA, BoundedPCA)")
     parser.add_argument("--solver", default="RIPTRM",
                         choices=["RIPTRM", "RIPM", "RSQO", "RALM"])
     parser.add_argument("--exact", action="store_true",
                         help="RIPTRM exact mode: per-lane Hw materialization "
                              "+ batched-eigh TRS with the in-loop "
                              "second-order stationarity criterion")
+    parser.add_argument(
+        "--rsqo-qp-mode", default="reghess_shift",
+        choices=["reghess", "reghess_shift", "reghess_operator", "eye"],
+        help="RSQO Hessian regularization: 'reghess_shift' (default here) "
+             "replaces the reference's per-step eigenvalue-clamp eigh — "
+             "measured 18.3 ms/step batched on a v5e, dominating the sweep "
+             "— with a certified diagonal shift (identical whenever the "
+             "Hessian is already sufficiently PD); 'reghess' is the "
+             "reference-exact clamp")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
     if args.exact and args.pallas:
@@ -305,6 +315,8 @@ def main(argv=None):
         option["forcing_function_second_order"] = (
             lambda mu: jnp.maximum(mu, 1e-4)
         )
+    if args.solver == "RSQO":
+        option["quadoptim_type"] = args.rsqo_qp_mode
     per_sweep, res, compile_s, _ = measure_sweep(
         problem, xs0, ys0, option, max_steps=args.max_steps, solver=args.solver
     )

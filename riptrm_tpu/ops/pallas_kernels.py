@@ -661,3 +661,300 @@ def chained_barrier_matvec(zs, x, y_over_c, v0, n_iters: int):
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )(corr, zs.astype(jnp.float32), row(x), row(y_over_c), row(v0))
     return out.reshape(n)
+
+
+# ---------------------------------------------------------------------------
+# Stiefel-bound structure (BoundedPCA): fused batched tCG
+# ---------------------------------------------------------------------------
+#
+# Problem family (problems/bounded_pca.py): max tr(X'Zs X) on St(n, p) with
+# |X_ij| <= b.  Closed forms (verified against the generic AD path,
+# tests/test_pallas.py::test_stiefel_tcg*):
+#
+#   proj(U)  = U - X sym(X'U)
+#   Hw(V)    = proj(-2 Zs V - V S + W o V)
+#     S      = sym(X' E),  E = -2 Zs X + Y1 - Y2   (Lagrangian egrad)
+#     W      = Y1/C1 + Y2/C2,  C1 = b - X, C2 = b + X
+#
+# (reference hot path being replaced: the per-constraint HVP loop at
+# /root/reference/src/solver/RIPTRM.py:491-523 — m = 2 n p constraints.)
+#
+# Batched layout: the B lanes' [n, p] tangent frames sit side by side as
+# [n, B*p] matrices, so the Zs matvec for ALL lanes is ONE
+# [n, n] x [n, B*p] MXU matmul per tCG iteration with Zs resident in VMEM
+# (loaded from HBM once per kernel call).  Per-lane contractions use a
+# block mask: X'U is computed as the full [Bp, Bp] cross product and masked
+# to its block diagonal — 16x more MACs than strictly needed, but ONE MXU
+# matmul instead of B small ones, and at these sizes the kernel is
+# overhead-bound, not FLOP-bound.  Per-lane scalars live as [1, Bp]
+# lane-constant rows (full-lane row layout; each lane's value replicated
+# over its p columns).
+
+
+def fits_in_vmem_stiefel(n: int, b: int, p: int, dtype_bytes: int = 4) -> bool:
+    """Zs + ~24 [n, B*p] arrays + 2 [Bp, Bp] block matrices."""
+    bp = b * p
+    return (
+        n * n * dtype_bytes + 24 * n * bp * dtype_bytes + 2 * bp * bp * dtype_bytes
+        <= VMEM_BUDGET_BYTES
+    )
+
+
+def _tcg_kernel_stiefel(
+    radius_ref, target_ref, flag_ref, z_ref, x_ref, w_ref, s_ref, g_ref,
+    eta_ref, heta_ref, stats_ref,
+    *, maxinner, mininner, p,
+):
+    """Entire batched Steihaug-Toint tCG for the stiefel_bound structure.
+
+    radius/target/flag: [1, Bp] lane-constant rows; z: [n, n]; x/w/g: [n, Bp]
+    flattened lane frames; s: [Bp, Bp] block-diagonal per-lane curvature
+    sym(X'E).  Outputs eta/heta [n, Bp] and stats [2, Bp] int32
+    (iterations, stop code — same codes as ops/tcg.py).
+    """
+    x = x_ref[:]
+    w = w_ref[:]
+    grad = g_ref[:]
+    sblk = s_ref[:]
+    radius = radius_ref[:]
+    target = target_ref[:]
+    linear_flag = flag_ref[:]
+    bp = x.shape[1]
+
+    # lane-block mask (i // p == j // p), built in-kernel from 2-D iotas
+    row_lane = jax.lax.broadcasted_iota(jnp.int32, (bp, bp), 0) // p
+    col_lane = jax.lax.broadcasted_iota(jnp.int32, (bp, bp), 1) // p
+    maskf = (row_lane == col_lane).astype(jnp.float32)
+
+    hi = jax.lax.Precision.HIGHEST
+
+    def xtu(a, bmat):
+        # a' bmat contracting the n axis: [n, Bp]' x [n, Bp] -> [Bp, Bp]
+        return jax.lax.dot_general(
+            a, bmat, (((0,), (0,)), ((), ())),
+            precision=hi, preferred_element_type=jnp.float32,
+        )
+
+    def lane_sum(row):
+        # [1, Bp] -> [1, Bp]: per-lane totals, broadcast back within blocks
+        return jnp.dot(row, maskf, precision=hi,
+                       preferred_element_type=jnp.float32)
+
+    def dot(a, bmat):
+        return lane_sum(jnp.sum(a * bmat, axis=0, keepdims=True))
+
+    def proj(u):
+        m = maskf * 0.5 * (xtu(x, u) + xtu(u, x))  # blockdiag sym(X'U)
+        return u - jnp.dot(x, m, precision=hi,
+                           preferred_element_type=jnp.float32)
+
+    # bf16x3 Z matvec as in _tcg_kernel_batched (hoisted hi/lo split)
+    z32 = z_ref[:]
+    z_hi = z32.astype(jnp.bfloat16)
+    z_lo = (z32 - z_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def matvec3(v):
+        v_hi = v.astype(jnp.bfloat16)
+        v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        d = lambda a, b_: jnp.dot(a, b_, preferred_element_type=jnp.float32)
+        return d(z_hi, v_hi) + d(z_lo, v_hi) + d(z_hi, v_lo)
+
+    def hw(v):
+        vs = jnp.dot(v, sblk, precision=hi,
+                     preferred_element_type=jnp.float32)  # per-lane V S
+        return proj(-2.0 * matvec3(v) - vs + w * v)
+
+    r0 = grad
+    z_r0 = dot(r0, r0)
+    delta0 = -r0
+    # data-derived zero seeds (see _tcg_kernel_batched layout notes)
+    zeros_nbp = grad - grad
+    zeros_row = target - target
+
+    def safe_div(a, d):
+        return a / jnp.where(d == 0, 1.0, d)
+
+    # carry: eta, Heta, r, delta [n, Bp]; e_Pe, d_Pd, e_Pd, z_r, model,
+    # iters, code, done [1, Bp] f32 rows; global j int32.
+    init = (
+        zeros_nbp, zeros_nbp, r0, delta0,
+        zeros_row, z_r0, zeros_row, z_r0, zeros_row,
+        zeros_row, zeros_row, zeros_row,
+        jnp.int32(0),
+    )
+
+    def cond(c):
+        any_alive = jnp.sum(1.0 - c[11]) > 0
+        return jnp.logical_and(any_alive, c[12] < maxinner)
+
+    def body(c):
+        (eta, heta, r, delta, e_pe, d_pd, e_pd, z_r, model,
+         iters, code, done_f, j) = c
+        done = done_f > 0.5
+        hdelta = hw(delta)
+        d_hd = dot(delta, hdelta)
+        alpha = safe_div(z_r, d_hd)
+        e_pe_new = e_pe + 2.0 * alpha * e_pd + alpha**2 * d_pd
+        bail = jnp.logical_or(d_hd <= 0, e_pe_new >= radius**2)
+        disc = jnp.maximum(e_pd**2 + d_pd * (radius**2 - e_pe), 0.0)
+        tau = safe_div(-e_pd + jnp.sqrt(disc), d_pd)
+        eta_b = eta + tau * delta
+        heta_b = heta + tau * hdelta
+        eta_c = eta + alpha * delta
+        heta_c = heta + alpha * hdelta
+        model_c = dot(eta_c, grad) + 0.5 * dot(eta_c, heta_c)
+        model_inc = model_c >= model
+        r_new = r + alpha * hdelta
+        zr_new = dot(r_new, r_new)
+        norm_r = jnp.sqrt(zr_new)
+        hit = jnp.logical_and(j + 1 > mininner, norm_r <= target)
+        beta = safe_div(zr_new, z_r)
+        delta_new = proj(-r_new + beta * delta)
+        done_now = bail | model_inc | hit
+        code_new = jnp.where(
+            bail,
+            jnp.where(d_hd <= 0, 1.0, 2.0),
+            jnp.where(
+                model_inc, 3.0,
+                jnp.where(hit, jnp.where(linear_flag > 0, 4.0, 5.0), 0.0),
+            ),
+        )
+
+        pick = lambda b_, k_, a_: jnp.where(bail, b_, jnp.where(model_inc, k_, a_))
+        eta_out = pick(eta_b, eta, eta_c)
+        heta_out = pick(heta_b, heta, heta_c)
+
+        frz = lambda new, old: jnp.where(done, old, new)
+        return (
+            frz(eta_out, eta), frz(heta_out, heta), frz(r_new, r),
+            frz(delta_new, delta),
+            frz(jnp.where(done_now, e_pe, e_pe_new), e_pe),
+            frz(jnp.where(done_now, d_pd, zr_new + beta**2 * d_pd), d_pd),
+            frz(jnp.where(done_now, e_pd, beta * (e_pd + alpha * d_pd)), e_pd),
+            frz(jnp.where(done_now, z_r, zr_new), z_r),
+            frz(jnp.where(done_now | model_inc, model, model_c), model),
+            iters + (1.0 - done_f),
+            jnp.where(done, code, code_new),
+            jnp.maximum(done_f, jnp.where(done_now, 1.0, 0.0)),
+            j + 1,
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    eta_ref[:] = out[0]
+    heta_ref[:] = out[1]
+    stats_ref[:] = jnp.concatenate([out[9], out[10]], axis=0).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("maxinner", "mininner"))
+def pallas_tcg_stiefel_bound_batched(
+    zs, xs, ws, ss, grads, radii, *, maxinner, mininner=1, theta=1.0, kappa=0.1
+):
+    """Batched fused tCG for the stiefel_bound structure.
+
+    xs/ws/grads: [B, n, p]; ss: [B, p, p] per-lane sym(X'E); radii: [B].
+    Returns (etas [B, n, p], Hetas [B, n, p], iterations [B], codes [B]).
+    """
+    b, n, p = xs.shape
+    bp = b * p
+    flat = lambda a: jnp.transpose(a.astype(jnp.float32), (1, 0, 2)).reshape(n, bp)
+    unflat = lambda a: jnp.transpose(a.reshape(n, b, p), (1, 0, 2))
+    x_f, w_f, g_f = flat(xs), flat(ws), flat(grads)
+    sblk = jax.scipy.linalg.block_diag(*[ss[i].astype(jnp.float32) for i in range(b)])
+    norm_r0 = jnp.sqrt(jnp.sum(grads.astype(jnp.float32) ** 2, axis=(1, 2)))
+    target = norm_r0 * jnp.minimum(norm_r0**theta, kappa)
+    linear_flag = (kappa < norm_r0**theta).astype(jnp.float32)
+    lane_row = lambda v: jnp.repeat(
+        v.astype(jnp.float32), p, total_repeat_length=bp
+    ).reshape(1, bp)
+    kern = functools.partial(
+        _tcg_kernel_stiefel, maxinner=maxinner, mininner=mininner, p=p
+    )
+    etas, hetas, stats = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, bp), jnp.float32),
+            jax.ShapeDtypeStruct((n, bp), jnp.float32),
+            jax.ShapeDtypeStruct((2, bp), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+    )(
+        lane_row(jnp.broadcast_to(radii, (b,))),
+        lane_row(target),
+        lane_row(linear_flag),
+        zs.astype(jnp.float32),
+        x_f, w_f, sblk, g_f,
+    )
+    return (
+        unflat(etas), unflat(hetas),
+        stats[0].reshape(b, p)[:, 0], stats[1].reshape(b, p)[:, 0],
+    )
+
+
+def _stiefel_bound_pieces(zs, x, y, c):
+    """W (barrier weights) and S (Lagrangian curvature block) at (x, y)."""
+    n, p = x.shape
+    np_ = n * p
+    f32 = lambda a: a.astype(jnp.float32)
+    y1, y2 = f32(y[:np_]).reshape(n, p), f32(y[np_:]).reshape(n, p)
+    c1, c2 = f32(c[:np_]).reshape(n, p), f32(c[np_:]).reshape(n, p)
+    w = y1 / c1 + y2 / c2
+    e = -2.0 * (f32(zs) @ f32(x)) + y1 - y2
+    s = 0.5 * (f32(x).T @ e + e.T @ f32(x))
+    return w, s
+
+
+def tcg_stiefel_bound(maxinner, mininner=1, theta=1.0, kappa=0.1):
+    """Fused stiefel_bound tCG with a custom vmap rule.
+
+    Returns ``tcg(zs, x, y, c, grad, radius)`` -> (eta, Heta, iters, code);
+    under ``jax.vmap`` (batched multi-start sweeps) the rule routes to the
+    batched kernel with Zs loaded into VMEM once and shared across lanes —
+    the same custom_vmap shared-data routing as ``tcg_sphere_quadratic``.
+    Falls back to a sequential ``lax.map`` of B=1 kernel calls when Z
+    itself carries a batch axis or the batch exceeds the VMEM budget.
+    """
+    from jax import custom_batching
+
+    kw = dict(maxinner=maxinner, mininner=mininner, theta=theta, kappa=kappa)
+
+    def one(zs, x, y, c, grad, radius):
+        w, s = _stiefel_bound_pieces(zs, x, y, c)
+        eta, heta, it, code = pallas_tcg_stiefel_bound_batched(
+            zs, x[None], w[None], s[None], grad[None],
+            jnp.asarray(radius, jnp.float32)[None], **kw,
+        )
+        return eta[0], heta[0], it[0], code[0]
+
+    @custom_batching.custom_vmap
+    def tcg(zs, x, y, c, grad, radius):
+        return one(zs, x, y, c, grad, radius)
+
+    @tcg.def_vmap
+    def _rule(axis_size, in_batched, zs, x, y, c, grad, radius):
+        zb, xb, yb, cb, gb, rb = in_batched
+        n, p = x.shape[-2], x.shape[-1]
+
+        def bc(a, ab):
+            return a if ab else jnp.broadcast_to(a, (axis_size,) + tuple(jnp.shape(a)))
+
+        xs, ys, cs, gs = bc(x, xb), bc(y, yb), bc(c, cb), bc(grad, gb)
+        radii = bc(jnp.asarray(radius, jnp.float32), rb)
+        if zb or not fits_in_vmem_stiefel(n, axis_size, p):
+            out = jax.lax.map(
+                lambda args: one(*args), (bc(zs, zb), xs, ys, cs, gs, radii)
+            )
+        else:
+            ws, ss = jax.vmap(
+                lambda xi, yi, ci: _stiefel_bound_pieces(zs, xi, yi, ci)
+            )(xs, ys, cs)
+            out = pallas_tcg_stiefel_bound_batched(
+                zs, xs, ws, ss, gs, radii, **kw
+            )
+        return out, (True, True, True, True)
+
+    return tcg

@@ -6,13 +6,26 @@ Replaces CVXOPT's ``solvers.qp`` used by RSQO
     minimize    0.5 d^T Q d + p^T d
     subject to  G d <= h,   A d = b
 
-with Q symmetric positive definite (RSQO regularizes it first).  Returns the
-primal solution and both multiplier vectors, matching the CVXOPT outputs the
-reference consumes (``sol['x']``, ``sol['z']``, ``sol['y']``).
+with Q symmetric positive definite (RSQO regularizes it first — the clamp
+at ``RSQO.py:126-131`` guarantees eigenvalues >= quadoptim_eigvalcorr > 0,
+and this solver EXPLOITS that: the condensed Newton matrix
+M = Q + G^T diag(z/s) G is then SPD, so each IPM iteration does ONE
+Cholesky factorization shared by the predictor and corrector solves, with
+equality constraints eliminated through an SPD Schur complement — instead
+of two general LU solves of the full saddle-point block per iteration.
+Returns the primal solution and both multiplier vectors, matching the
+CVXOPT outputs the reference consumes (``sol['x']``, ``sol['z']``,
+``sol['y']``).
 
-TPU-first: fixed-shape dense linear algebra (one (n+l) x (n+l) factorization
-per iteration), ``lax.while_loop`` with tolerance-based early exit — the
-whole solve stays inside the surrounding jitted solver step.
+TPU-first: fixed-shape dense linear algebra, ``lax.while_loop`` with
+tolerance-based early exit — the whole solve stays inside the surrounding
+jitted solver step and batches cleanly under ``vmap`` (batched Cholesky /
+triangular solves hit the MXU; frozen lanes mask out via the while_loop
+batching rule).  ``warm_z`` warm-starts the dual from the surrounding SQP
+iteration's multipliers: near SQP convergence the start (x=0, s=max(h,eps),
+z=y_prev) is already primal-feasible with a near-stationary dual, cutting
+the IPM to a handful of iterations (the reference's CVXOPT cold-starts
+every QP).
 """
 
 from __future__ import annotations
@@ -21,6 +34,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.scipy.linalg import cho_factor, cho_solve
 
 
 class QpResult(NamedTuple):
@@ -36,8 +50,14 @@ class QpResult(NamedTuple):
 
 
 def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
-             feastol=1e-10, maxiter=50):
-    """Solve the QP; all shapes static.  ``A``/``b`` may be (0, n)/(0,)."""
+             feastol=1e-10, maxiter=50, warm_z=None):
+    """Solve the QP; all shapes static.  ``A``/``b`` may be (0, n)/(0,).
+
+    Q must be symmetric POSITIVE DEFINITE (the Newton systems are solved by
+    Cholesky; an indefinite Q yields NaNs, not an error) and A full row
+    rank.  ``warm_z`` (optional, shape (m,)) warm-starts the inequality
+    multipliers, e.g. from the previous QP of an SQP sequence.
+    """
     dtype = Q.dtype
     n = Q.shape[0]
     m = G.shape[0]
@@ -46,12 +66,20 @@ def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
         b = jnp.zeros((0,), dtype=dtype)
     l = A.shape[0]
 
-    # Starting point: x = 0, s = z = scaled ones (infeasible-start IPM)
     scale = jnp.maximum(1.0, jnp.linalg.norm(h) / max(m, 1))
     x0 = jnp.zeros((n,), dtype=dtype)
-    s0 = jnp.full((m,), scale, dtype=dtype)
-    z0 = jnp.full((m,), 1.0, dtype=dtype)
     y0 = jnp.zeros((l,), dtype=dtype)
+    if warm_z is None:
+        # cold start: s = z = scaled ones (infeasible-start IPM)
+        s0 = jnp.full((m,), scale, dtype=dtype)
+        z0 = jnp.full((m,), 1.0, dtype=dtype)
+    else:
+        # warm start at x = 0: s = h makes the primal residual exactly zero
+        # whenever h >= 0 (the SQP iterate is feasible); z carries the
+        # caller's multipliers.  Both are floored away from the boundary so
+        # the first centering step is not blocked.
+        s0 = jnp.maximum(h, 1e-2 * scale).astype(dtype)
+        z0 = jnp.maximum(jnp.asarray(warm_z, dtype=dtype), 1e-4)
 
     def residuals(x, s, z, y):
         rd = Q @ x + p + G.T @ z + A.T @ y
@@ -59,23 +87,40 @@ def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
         re = A @ x - b
         return rd, rp, re
 
-    def kkt_solve(x, s, z, y, rd, rp, re, rc):
-        """Solve the condensed Newton system for (dx, dy), recover ds, dz.
+    def kkt_factor(s, z):
+        """Factor the condensed Newton system once per IPM iteration.
 
-        [Q + G^T W G,  A^T] [dx]   [-rd - G^T ((z*rp - rc)/s)]
-        [A,            0  ] [dy] = [-re]
-        with W = diag(z/s).
+        M = Q + G^T diag(z/s) G is SPD (Q PD, the barrier term PSD); with
+        equality constraints, dy is eliminated through the SPD Schur
+        complement S = A M^{-1} A^T.  The factorization is shared by the
+        predictor and the corrector solve.
         """
         w = z / s
         M = Q + (G.T * w) @ G
+        cf = cho_factor(M)
+        if l > 0:
+            minv_at = cho_solve(cf, A.T)  # n x l
+            cs = cho_factor(A @ minv_at)
+        else:
+            minv_at = jnp.zeros((n, 0), dtype=dtype)
+            cs = None
+        return cf, minv_at, cs
+
+    def kkt_solve(fact, s, z, rd, rp, re, rc):
+        """Back-substitute one rhs through the shared factorization:
+
+        [Q + G^T W G,  A^T] [dx]   [-rd - G^T ((z*rp - rc)/s)]
+        [A,            0  ] [dy] = [-re]
+        with W = diag(z/s); recover ds, dz elementwise.
+        """
+        cf, minv_at, cs = fact
         rhs_x = -rd - G.T @ ((z * rp - rc) / s)
         if l > 0:
-            K = jnp.block([[M, A.T], [A, jnp.zeros((l, l), dtype=dtype)]])
-            rhs = jnp.concatenate([rhs_x, -re])
-            sol = jnp.linalg.solve(K, rhs)
-            dx, dy = sol[:n], sol[n:]
+            minv_rhs = cho_solve(cf, rhs_x)
+            dy = cho_solve(cs, A @ minv_rhs + re)
+            dx = minv_rhs - minv_at @ dy
         else:
-            dx = jnp.linalg.solve(M, rhs_x)
+            dx = cho_solve(cf, rhs_x)
             dy = jnp.zeros((0,), dtype=dtype)
         ds = -(rp + G @ dx)
         dz = -(rc + z * ds) / s
@@ -111,19 +156,20 @@ def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
         x, s, z, y = st.x, st.s, st.z, st.y
         rd, rp, re = residuals(x, s, z, y)
         mu = jnp.vdot(s, z) / max(m, 1)  # m == 0: equality-only QP, mu := 0
+        fact = kkt_factor(s, z)
 
         # affine (predictor) step
         rc_aff = z * s
-        dx_a, ds_a, dz_a, dy_a = kkt_solve(x, s, z, y, rd, rp, re, rc_aff)
+        dx_a, ds_a, dz_a, dy_a = kkt_solve(fact, s, z, rd, rp, re, rc_aff)
         alpha_p = max_step(s, ds_a)
         alpha_d = max_step(z, dz_a)
         alpha_a = jnp.minimum(alpha_p, alpha_d)
         mu_aff = jnp.vdot(s + alpha_a * ds_a, z + alpha_a * dz_a) / max(m, 1)
         sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-300)) ** 3, 0.0, 1.0)
 
-        # corrector step
+        # corrector step (same factorization, new rhs)
         rc = z * s + ds_a * dz_a - sigma * mu
-        dx, ds, dz, dy = kkt_solve(x, s, z, y, rd, rp, re, rc)
+        dx, ds, dz, dy = kkt_solve(fact, s, z, rd, rp, re, rc)
         alpha = jnp.minimum(max_step(s, ds), max_step(z, dz))
 
         x = x + alpha * dx
@@ -136,7 +182,8 @@ def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
         return (~st.done) & (st.k < maxiter)
 
     st = jax.lax.while_loop(
-        cond, body, State(x0, s0, z0, y0, jnp.asarray(0), jnp.asarray(False))
+        cond, body,
+        State(x0, s0, z0, y0, jnp.asarray(0), converged(x0, s0, z0, y0)),
     )
     rd, rp, re = residuals(st.x, st.s, st.z, st.y)
     return QpResult(

@@ -216,19 +216,34 @@ def make_step(problem, option):
 
     # Fused Pallas tCG (TPU): gate statically and build the custom_vmap
     # wrapper once so batched sweeps route through the shared-Z batched
-    # kernel (ops/pallas_kernels.py::tcg_sphere_quadratic).
+    # kernel (ops/pallas_kernels.py::tcg_sphere_quadratic /
+    # tcg_stiefel_bound).
     use_pallas = False
-    if (
-        not exact
-        and option["use_pallas_tcg"]
-        and problem.structure is not None
-        and problem.structure.get("kind") == "sphere_quadratic"
-    ):
+    pallas_kind = (
+        problem.structure.get("kind")
+        if (not exact and option["use_pallas_tcg"] and problem.structure)
+        else None
+    )
+    if pallas_kind == "sphere_quadratic":
         from riptrm_tpu.ops.pallas_kernels import fits_in_vmem, tcg_sphere_quadratic
 
         use_pallas = fits_in_vmem(man.dim + 1)
         if use_pallas:
             pallas_tcg = tcg_sphere_quadratic(
+                maxinner=man.dim,
+                mininner=option["tCG_mininner"],
+                theta=option["tCG_theta"],
+                kappa=option["tCG_kappa"],
+            )
+    elif pallas_kind == "stiefel_bound":
+        from riptrm_tpu.ops.pallas_kernels import (
+            fits_in_vmem_stiefel,
+            tcg_stiefel_bound,
+        )
+
+        use_pallas = fits_in_vmem_stiefel(man.n, 1, man.p)
+        if use_pallas:
+            pallas_tcg_st = tcg_stiefel_bound(
                 maxinner=man.dim,
                 mininner=option["tCG_mininner"],
                 theta=option["tCG_theta"],
@@ -272,11 +287,19 @@ def make_step(problem, option):
             cx_dx = c_vec @ coeff
             dxtype = trs_code
         else:
-            if use_pallas:
+            if use_pallas and pallas_kind == "sphere_quadratic":
                 zs = problem.structure["Zs"]
                 dt = state.y.dtype
                 dx, h_dx, tcg_iters, tcg_code = pallas_tcg(
                     zs, x, y / c, cx, tr_radius
+                )
+                dx = dx.astype(dt)
+                h_dx = h_dx.astype(dt)
+            elif use_pallas and pallas_kind == "stiefel_bound":
+                zs = problem.structure["Zs"]
+                dt = state.y.dtype
+                dx, h_dx, tcg_iters, tcg_code = pallas_tcg_st(
+                    zs, x, y, c, cx, tr_radius
                 )
                 dx = dx.astype(dt)
                 h_dx = h_dx.astype(dt)

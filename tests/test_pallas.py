@@ -198,3 +198,115 @@ def test_tcg_custom_vmap_routes_to_batched(setup):
     np.testing.assert_allclose(np.asarray(hv), np.asarray(hb), atol=1e-5)
     assert (np.asarray(it_v) == np.asarray(it_b)).all()
     assert (np.asarray(code_v) == np.asarray(code_b)).all()
+
+
+@pytest.fixture(scope="module")
+def stiefel_setup():
+    from riptrm_tpu.problems import bounded_pca
+
+    n, p = 32, 4
+    data = bounded_pca.generate_instance(jax.random.PRNGKey(20), n)
+    x0 = bounded_pca.generate_initialpoint(jax.random.PRNGKey(21), n, p)
+    problem = bounded_pca.make_problem(data["Z"], x0, dtype=jnp.float32)
+    return problem, jnp.asarray(x0, jnp.float32)
+
+
+def test_stiefel_tcg_interpret(stiefel_setup):
+    """Single-lane stiefel_bound fused tCG matches the generic XLA tCG."""
+    from riptrm_tpu.ops import pallas_kernels as pk
+
+    problem, x = stiefel_setup
+    man = problem.manifold
+    m = problem.num_ineq
+    y = 0.5 + jnp.abs(jax.random.normal(jax.random.PRNGKey(22), (m,), dtype=jnp.float32))
+    mu = jnp.float32(0.05)
+    c, hw, cx = _barrier_ops(problem, x, y, mu)
+    tr = jnp.float32(0.4)
+    eta_x, heta_x, it_x, code_x = truncated_cg(man, x, hw, cx, tr, maxinner=man.dim)
+    tcg = pk.tcg_stiefel_bound(maxinner=man.dim)
+    with _interp():
+        eta_p, heta_p, it_p, code_p = tcg(problem.structure["Zs"], x, y, c, cx, tr)
+    assert int(it_p) == int(it_x)
+    assert int(code_p) == int(code_x)
+    np.testing.assert_allclose(np.asarray(eta_p), np.asarray(eta_x), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(heta_p), np.asarray(heta_x), atol=2e-3, rtol=1e-2)
+
+
+def test_stiefel_tcg_batched_interpret(stiefel_setup):
+    """Batched stiefel_bound kernel (shared Z, [n, B*p] layout) matches
+    per-lane XLA tCG; exercised through the custom_vmap route."""
+    from riptrm_tpu.ops import pallas_kernels as pk
+    from riptrm_tpu.problems import bounded_pca
+
+    problem, _ = stiefel_setup
+    man = problem.manifold
+    n, p = man.n, man.p
+    m = problem.num_ineq
+    B = 3
+    xs = jnp.stack([
+        jnp.asarray(
+            bounded_pca.generate_initialpoint(jax.random.PRNGKey(30 + i), n, p),
+            jnp.float32,
+        )
+        for i in range(B)
+    ])
+    ys = 0.5 + jnp.abs(jax.random.normal(jax.random.PRNGKey(23), (B, m), dtype=jnp.float32))
+    radii = jnp.asarray([0.2, 0.4, 0.3], jnp.float32)
+    mu = jnp.float32(0.05)
+
+    etas_ref, iters_ref, codes_ref, grads, cs = [], [], [], [], []
+    for i in range(B):
+        c, hw, cx = _barrier_ops(problem, xs[i], ys[i], mu)
+        grads.append(cx)
+        cs.append(c)
+        eta, _, it, code = truncated_cg(man, xs[i], hw, cx, radii[i], maxinner=man.dim)
+        etas_ref.append(eta)
+        iters_ref.append(int(it))
+        codes_ref.append(int(code))
+    tcg = pk.tcg_stiefel_bound(maxinner=man.dim)
+    with _interp():
+        etas, _, iters, codes = jax.vmap(
+            lambda x, y, c, g, r: tcg(problem.structure["Zs"], x, y, c, g, r)
+        )(xs, ys, jnp.stack(cs), jnp.stack(grads), radii)
+    assert [int(v) for v in iters] == iters_ref
+    assert [int(v) for v in codes] == codes_ref
+    np.testing.assert_allclose(
+        np.asarray(etas), np.asarray(jnp.stack(etas_ref)), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_stiefel_solve_pallas_matches_xla():
+    """Full compiled RIPTRM solve with use_pallas_tcg on BoundedPCA reaches
+    the XLA path's solution at solver tolerance (small instance: the
+    interpreter runs the fused kernel per inner step)."""
+    from riptrm_tpu.problems import bounded_pca
+
+    n, p = 16, 2
+    data = bounded_pca.generate_instance(jax.random.PRNGKey(24), n)
+    x0 = bounded_pca.generate_initialpoint(jax.random.PRNGKey(25), n, p)
+    problem = bounded_pca.make_problem(data["Z"], x0, dtype=jnp.float32)
+    opt = {
+        "maxiter": 25,
+        "tolresid": 1e-3,
+        "TRS_solver": "tCG",
+        "second_order_stationarity": False,
+        "forcing_function_Lagrangian": lambda mu: jnp.maximum(mu, 1e-4),
+        "forcing_function_complementarity": lambda mu: jnp.maximum(1e-3 * mu, 2e-4),
+    }
+    from riptrm_tpu.ops.kkt import compute_residual
+    from riptrm_tpu.solvers.riptrm import RIPTRM
+
+    def run(use_pallas):
+        solver = RIPTRM(opt | {"use_pallas_tcg": use_pallas})
+        solve = solver.solve_compiled(problem, 600)
+        st, k = solve(init_state(problem, solver.option))
+        res = compute_residual(problem, st.x, st.y, jnp.zeros((0,)))[0]
+        return st, float(res)
+
+    st_x, res_x = run(False)
+    with _interp():
+        st_p, res_p = run(True)
+    assert res_p < 2e-3 and res_x < 2e-3
+    np.testing.assert_allclose(
+        np.asarray(st_p.x), np.asarray(st_x.x), atol=5e-3
+    )
