@@ -32,11 +32,13 @@ import time
 
 import numpy as np
 
+from riptrm_tpu.utils.devices import local_cpu
+
 
 def _cpu_device():
     import jax
 
-    return jax.devices("cpu")[0]
+    return local_cpu()
 
 
 def build_sweep(problem_name: str, size: int, batch: int, seed: int = 0):
@@ -301,15 +303,20 @@ def main(argv=None):
     problem, xs0, ys0 = build_sweep(args.problem, args.size, args.batch, args.seed)
     gen_s = time.time() - t0
 
+    # f32 forcing floors (BENCH.md precision notes).  The complementarity
+    # criterion is a 2-norm over all m constraints, so its reachable floor
+    # grows like sqrt(m); 2e-4 was calibrated at m=200 (NonnegPCA n=200).
+    compl_floor = 2e-4 * max(1.0, (problem.num_ineq / 200.0) ** 0.5)
     option = {
         "maxiter": args.maxiter,
         "tolresid": args.tolresid,
         "TRS_solver": "Exact_RepMat" if args.exact else "tCG",
         "second_order_stationarity": args.exact,
         "use_pallas_tcg": args.pallas,
-        # f32 forcing floors (BENCH.md precision notes)
         "forcing_function_Lagrangian": lambda mu: jnp.maximum(mu, 1e-4),
-        "forcing_function_complementarity": lambda mu: jnp.maximum(1e-3 * mu, 2e-4),
+        "forcing_function_complementarity": (
+            lambda mu: jnp.maximum(1e-3 * mu, compl_floor)
+        ),
     }
     if args.exact:
         option["forcing_function_second_order"] = (

@@ -667,13 +667,14 @@ def chained_barrier_matvec(zs, x, y_over_c, v0, n_iters: int):
 # Stiefel-bound structure (BoundedPCA): fused batched tCG
 # ---------------------------------------------------------------------------
 #
-# Problem family (problems/bounded_pca.py): max tr(X'Zs X) on St(n, p) with
-# |X_ij| <= b.  Closed forms (verified against the generic AD path,
+# Problem family (problems/bounded_pca.py): max tr(X'Zs X D) on St(n, p)
+# with |X_ij| <= b and D = diag(d) the Brockett weights.  Closed forms
+# (verified against the generic AD path,
 # tests/test_pallas.py::test_stiefel_tcg*):
 #
 #   proj(U)  = U - X sym(X'U)
-#   Hw(V)    = proj(-2 Zs V - V S + W o V)
-#     S      = sym(X' E),  E = -2 Zs X + Y1 - Y2   (Lagrangian egrad)
+#   Hw(V)    = proj(-2 Zs V D - V S + W o V)
+#     S      = sym(X' E),  E = -2 Zs X D + Y1 - Y2   (Lagrangian egrad)
 #     W      = Y1/C1 + Y2/C2,  C1 = b - X, C2 = b + X
 #
 # (reference hot path being replaced: the per-constraint HVP loop at
@@ -701,21 +702,22 @@ def fits_in_vmem_stiefel(n: int, b: int, p: int, dtype_bytes: int = 4) -> bool:
 
 
 def _tcg_kernel_stiefel(
-    radius_ref, target_ref, flag_ref, z_ref, x_ref, w_ref, s_ref, g_ref,
-    eta_ref, heta_ref, stats_ref,
+    radius_ref, target_ref, flag_ref, d_ref, z_ref, x_ref, w_ref, s_ref,
+    g_ref, eta_ref, heta_ref, stats_ref,
     *, maxinner, mininner, p,
 ):
     """Entire batched Steihaug-Toint tCG for the stiefel_bound structure.
 
-    radius/target/flag: [1, Bp] lane-constant rows; z: [n, n]; x/w/g: [n, Bp]
-    flattened lane frames; s: [Bp, Bp] block-diagonal per-lane curvature
-    sym(X'E).  Outputs eta/heta [n, Bp] and stats [2, Bp] int32
+    radius/target/flag: [1, Bp] lane-constant rows; d: [1, Bp] Brockett
+    weights tiled per lane; z: [n, n]; x/w/g: [n, Bp] flattened lane
+    frames; s: [Bp, Bp] block-diagonal per-lane curvature sym(X'E).  Outputs eta/heta [n, Bp] and stats [2, Bp] int32
     (iterations, stop code — same codes as ops/tcg.py).
     """
     x = x_ref[:]
     w = w_ref[:]
     grad = g_ref[:]
     sblk = s_ref[:]
+    drow = d_ref[:]
     radius = radius_ref[:]
     target = target_ref[:]
     linear_flag = flag_ref[:]
@@ -762,7 +764,7 @@ def _tcg_kernel_stiefel(
     def hw(v):
         vs = jnp.dot(v, sblk, precision=hi,
                      preferred_element_type=jnp.float32)  # per-lane V S
-        return proj(-2.0 * matvec3(v) - vs + w * v)
+        return proj(-2.0 * matvec3(v) * drow - vs + w * v)
 
     r0 = grad
     z_r0 = dot(r0, r0)
@@ -847,11 +849,13 @@ def _tcg_kernel_stiefel(
 
 @functools.partial(jax.jit, static_argnames=("maxinner", "mininner"))
 def pallas_tcg_stiefel_bound_batched(
-    zs, xs, ws, ss, grads, radii, *, maxinner, mininner=1, theta=1.0, kappa=0.1
+    zs, d, xs, ws, ss, grads, radii, *, maxinner, mininner=1, theta=1.0,
+    kappa=0.1
 ):
     """Batched fused tCG for the stiefel_bound structure.
 
-    xs/ws/grads: [B, n, p]; ss: [B, p, p] per-lane sym(X'E); radii: [B].
+    d: [p] Brockett cost weights (shared across lanes); xs/ws/grads:
+    [B, n, p]; ss: [B, p, p] per-lane sym(X'E); radii: [B].
     Returns (etas [B, n, p], Hetas [B, n, p], iterations [B], codes [B]).
     """
     b, n, p = xs.shape
@@ -876,7 +880,7 @@ def pallas_tcg_stiefel_bound_batched(
             jax.ShapeDtypeStruct((n, bp), jnp.float32),
             jax.ShapeDtypeStruct((2, bp), jnp.int32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -886,6 +890,7 @@ def pallas_tcg_stiefel_bound_batched(
         lane_row(jnp.broadcast_to(radii, (b,))),
         lane_row(target),
         lane_row(linear_flag),
+        jnp.tile(d.astype(jnp.float32), b).reshape(1, bp),
         zs.astype(jnp.float32),
         x_f, w_f, sblk, g_f,
     )
@@ -895,7 +900,7 @@ def pallas_tcg_stiefel_bound_batched(
     )
 
 
-def _stiefel_bound_pieces(zs, x, y, c):
+def _stiefel_bound_pieces(zs, d, x, y, c):
     """W (barrier weights) and S (Lagrangian curvature block) at (x, y)."""
     n, p = x.shape
     np_ = n * p
@@ -903,7 +908,7 @@ def _stiefel_bound_pieces(zs, x, y, c):
     y1, y2 = f32(y[:np_]).reshape(n, p), f32(y[np_:]).reshape(n, p)
     c1, c2 = f32(c[:np_]).reshape(n, p), f32(c[np_:]).reshape(n, p)
     w = y1 / c1 + y2 / c2
-    e = -2.0 * (f32(zs) @ f32(x)) + y1 - y2
+    e = -2.0 * (f32(zs) @ f32(x)) * f32(d) + y1 - y2
     s = 0.5 * (f32(x).T @ e + e.T @ f32(x))
     return w, s
 
@@ -911,7 +916,8 @@ def _stiefel_bound_pieces(zs, x, y, c):
 def tcg_stiefel_bound(maxinner, mininner=1, theta=1.0, kappa=0.1):
     """Fused stiefel_bound tCG with a custom vmap rule.
 
-    Returns ``tcg(zs, x, y, c, grad, radius)`` -> (eta, Heta, iters, code);
+    Returns ``tcg(zs, d, x, y, c, grad, radius)`` -> (eta, Heta, iters,
+    code), with ``d`` the [p] Brockett cost weights;
     under ``jax.vmap`` (batched multi-start sweeps) the rule routes to the
     batched kernel with Zs loaded into VMEM once and shared across lanes —
     the same custom_vmap shared-data routing as ``tcg_sphere_quadratic``.
@@ -922,21 +928,21 @@ def tcg_stiefel_bound(maxinner, mininner=1, theta=1.0, kappa=0.1):
 
     kw = dict(maxinner=maxinner, mininner=mininner, theta=theta, kappa=kappa)
 
-    def one(zs, x, y, c, grad, radius):
-        w, s = _stiefel_bound_pieces(zs, x, y, c)
+    def one(zs, d, x, y, c, grad, radius):
+        w, s = _stiefel_bound_pieces(zs, d, x, y, c)
         eta, heta, it, code = pallas_tcg_stiefel_bound_batched(
-            zs, x[None], w[None], s[None], grad[None],
+            zs, d, x[None], w[None], s[None], grad[None],
             jnp.asarray(radius, jnp.float32)[None], **kw,
         )
         return eta[0], heta[0], it[0], code[0]
 
     @custom_batching.custom_vmap
-    def tcg(zs, x, y, c, grad, radius):
-        return one(zs, x, y, c, grad, radius)
+    def tcg(zs, d, x, y, c, grad, radius):
+        return one(zs, d, x, y, c, grad, radius)
 
     @tcg.def_vmap
-    def _rule(axis_size, in_batched, zs, x, y, c, grad, radius):
-        zb, xb, yb, cb, gb, rb = in_batched
+    def _rule(axis_size, in_batched, zs, d, x, y, c, grad, radius):
+        zb, db, xb, yb, cb, gb, rb = in_batched
         n, p = x.shape[-2], x.shape[-1]
 
         def bc(a, ab):
@@ -944,16 +950,17 @@ def tcg_stiefel_bound(maxinner, mininner=1, theta=1.0, kappa=0.1):
 
         xs, ys, cs, gs = bc(x, xb), bc(y, yb), bc(c, cb), bc(grad, gb)
         radii = bc(jnp.asarray(radius, jnp.float32), rb)
-        if zb or not fits_in_vmem_stiefel(n, axis_size, p):
+        if zb or db or not fits_in_vmem_stiefel(n, axis_size, p):
             out = jax.lax.map(
-                lambda args: one(*args), (bc(zs, zb), xs, ys, cs, gs, radii)
+                lambda args: one(*args),
+                (bc(zs, zb), bc(d, db), xs, ys, cs, gs, radii),
             )
         else:
             ws, ss = jax.vmap(
-                lambda xi, yi, ci: _stiefel_bound_pieces(zs, xi, yi, ci)
+                lambda xi, yi, ci: _stiefel_bound_pieces(zs, d, xi, yi, ci)
             )(xs, ys, cs)
             out = pallas_tcg_stiefel_bound_batched(
-                zs, xs, ws, ss, gs, radii, **kw
+                zs, d, xs, ws, ss, gs, radii, **kw
             )
         return out, (True, True, True, True)
 

@@ -1,8 +1,9 @@
-"""Bounded-coordinate PCA on the Stiefel manifold.
+"""Bounded-coordinate PCA on the Stiefel manifold (Brockett form).
 
-    max tr(X' Z X)  on  St(n, p)   s.t.  |X_ij| <= bound  elementwise
+    max tr(X' Z X D)  on  St(n, p)   s.t.  |X_ij| <= bound  elementwise
 
-The p = 1, one-sided case is the reference's NonnegPCA
+with D = diag(d_1 > ... > d_p > 0) the Brockett weights.  The p = 1,
+one-sided case is the reference's NonnegPCA
 (``/root/reference/src/NonnegPCA/coordinator.py``); for p >= 2 a
 *nonnegativity* constraint is degenerate for interior-point methods
 (orthonormal nonnegative columns must have disjoint supports, so the
@@ -11,6 +12,15 @@ the classic "delocalized" PCA variant with a nonempty interior and
 genuinely active constraints at optima whenever the leading eigenvectors
 are localized.  Stiefel is a north-star primitive (BASELINE.json); there
 is no reference counterpart to mirror.
+
+The DISTINCT weights matter: the unweighted trace tr(X'ZX) is invariant
+under X -> XQ for any orthogonal Q, so its barrier subproblems have a
+p(p-1)/2-dimensional near-null gauge orbit (measured: an eigenvalue
+cluster at ~1e-4 in Hw at St(128, 8)) along which a trust-region walk
+cycles without ever centering the duals — in f32 the inner loop then
+stalls at the first barrier parameter.  The Brockett weights break the
+gauge, giving isolated minimizers (the top-p eigenvectors, ordered) and an
+f32-viable problem at production sizes.
 
 St(n, p) has a closed-form tangent basis (``manifolds/stiefel.py``), so
 ALL solver paths run: RIPTRM tCG and Exact_RepMat (incl. dense
@@ -28,8 +38,10 @@ import numpy as np
 from riptrm_tpu.manifolds.stiefel import Stiefel
 from riptrm_tpu.problems.problem import Problem
 
+from riptrm_tpu.utils.devices import local_cpu
 
-def make_problem(Z, x0, y0=None, bound: float = 0.8, dtype=None) -> Problem:
+
+def make_problem(Z, x0, y0=None, bound: float = 0.8, dtype=None, weights=None) -> Problem:
     Z = jnp.asarray(Z, dtype=dtype)
     Zs = 0.5 * (Z + Z.T)
     x0 = jnp.asarray(x0, dtype=dtype)
@@ -42,9 +54,16 @@ def make_problem(Z, x0, y0=None, bound: float = 0.8, dtype=None) -> Problem:
     else:
         y0 = jnp.asarray(y0, dtype=dt)
     b = jnp.asarray(bound, dtype=dt)
+    if weights is None:
+        # Brockett weights d_k = 1 + (p - k)/p in (1, 2]: distinct (gap 1/p
+        # breaks the gauge orbit) and O(1)-bounded away from zero, so no
+        # column's cost contribution vanishes relative to the others
+        d = 1.0 + jnp.arange(p - 1, -1, -1, dtype=dt) / p
+    else:
+        d = jnp.asarray(weights, dtype=dt)
 
     def cost(x):
-        return -jnp.sum(x * (Zs @ x))
+        return -jnp.sum((x * (Zs @ x)) * d)
 
     def ineq(x):
         # feasible: x <= b and -x <= b, stacked [2 n p]
@@ -64,9 +83,9 @@ def make_problem(Z, x0, y0=None, bound: float = 0.8, dtype=None) -> Problem:
         num_eq=0,
         manvio=manvio,
         # Unlocks the fused Pallas tCG (ops/pallas_kernels.py
-        # ::tcg_stiefel_bound): quadratic cost + elementwise bound
-        # constraints on St(n, p).
-        structure={"kind": "stiefel_bound", "Zs": Zs, "bound": b},
+        # ::tcg_stiefel_bound): weighted quadratic cost + elementwise
+        # bound constraints on St(n, p).
+        structure={"kind": "stiefel_bound", "Zs": Zs, "bound": b, "d": d},
     )
 
 
@@ -102,7 +121,7 @@ def generate_initialpoint(key, n: int, p: int, bound: float = 0.8, margin: float
             f"bound - margin = {bound - margin:.3g} <= 1/sqrt(n) = "
             f"{1.0 / math.sqrt(n):.3g}: no orthonormal frame can satisfy it"
         )
-    cpu = jax.devices("cpu")[0]
+    cpu = local_cpu()
     key = jax.device_put(key, cpu)
     with jax.default_device(cpu):
         for _ in range(max_draws):

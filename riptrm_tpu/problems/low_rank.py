@@ -25,6 +25,8 @@ import numpy as np
 from riptrm_tpu.manifolds.fixed_rank import FixedRankEmbedded
 from riptrm_tpu.problems.embedded import EmbeddedProblem, ambient_problem
 
+from riptrm_tpu.utils.devices import local_cpu
+
 
 def make_problem(A, x0, y0=None, lb: float = 0.0, dtype=None) -> EmbeddedProblem:
     """``A``: target matrix [m, n]; ``x0``: (U [m,k], S [k], V [n,k]) triple;
@@ -91,7 +93,7 @@ def generate_instance(key, m: int, n: int, rank: int, noise: float = 0.01):
     """Nonnegative rank-``rank`` target A = W @ H' (entrywise |N(0,1)|
     factors) plus elementwise noise — an NMF-style recovery target.  Runs on
     the CPU backend (data generation is not a hot path)."""
-    cpu = jax.devices("cpu")[0]
+    cpu = local_cpu()
     key = jax.device_put(key, cpu)
     with jax.default_device(cpu):
         k1, k2, k3 = jax.random.split(key, 3)
@@ -107,7 +109,7 @@ def generate_initialpoint(key, m: int, n: int, k: int, lb: float = 0.0, margin: 
     every entry clears ``lb`` by ``margin`` (generator-side retry in the
     spirit of the reference's feasible-start searches,
     ``StableIdentification/generator.py:137-223``)."""
-    cpu = jax.devices("cpu")[0]
+    cpu = local_cpu()
     key = jax.device_put(key, cpu)
     with jax.default_device(cpu):
         k1, k2, k3 = jax.random.split(key, 3)

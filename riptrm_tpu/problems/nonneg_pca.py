@@ -19,6 +19,8 @@ from riptrm_tpu.manifolds import Sphere
 from riptrm_tpu.problems.problem import Problem
 from riptrm_tpu.utils.io import loadtxt
 
+from riptrm_tpu.utils.devices import local_cpu
+
 
 def make_problem(Z, x0, y0=None, dtype=None, matmul_precision=None) -> Problem:
     """``matmul_precision``: None uses the backend default (bf16 passes on
@@ -79,7 +81,7 @@ def generate_instance(key, dim: int, snr: float = 0.5, delta: float = 0.7):
     CPU backend: data generation is not a hot path and remote-TPU compiles
     of these one-shot graphs are slow and uncached.
     """
-    cpu = jax.devices("cpu")[0]
+    cpu = local_cpu()
     # device_put the key too: a TPU-resident key would drag every eager op
     # back to the remote TPU backend despite default_device.
     key = jax.device_put(key, cpu)
@@ -105,7 +107,7 @@ def _generate_instance(key, dim, snr, delta):
 def generate_initialpoint(key, dim: int, feasible: bool = True):
     """Random unit-norm initial point (reference ``generator.py:34-54``).
     Runs on the CPU backend like every generator here (CLAUDE.md)."""
-    cpu = jax.devices("cpu")[0]
+    cpu = local_cpu()
     with jax.default_device(cpu):
         x0 = jax.random.uniform(jax.device_put(key, cpu), (dim,))
         x0 = x0 / jnp.linalg.norm(x0)

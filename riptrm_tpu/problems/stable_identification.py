@@ -28,6 +28,8 @@ from riptrm_tpu.manifolds import Product, SkewSymmetric, SymmetricPositiveDefini
 from riptrm_tpu.problems.problem import Problem
 from riptrm_tpu.utils.io import loadtxt
 
+from riptrm_tpu.utils.devices import local_cpu
+
 KIND_LS = 0  # -A[r,c] + p1 <= 0
 KIND_RS = 1  # A[r,c] - p2 <= 0
 KIND_TWO = 2  # -(A[r,c] - p1)^2 + p2^2 <= 0
@@ -227,7 +229,7 @@ def _cpu_key(key):
     paying a fresh remote compile per program."""
     import jax
 
-    return jax.device_put(key, jax.devices("cpu")[0])
+    return jax.device_put(key, local_cpu())
 
 
 def generate_true_system(key, d: int, scaling: float = 1.0):
@@ -236,7 +238,7 @@ def generate_true_system(key, d: int, scaling: float = 1.0):
 
     man = Product([SkewSymmetric(d), SymmetricPositiveDefinite(d), SymmetricPositiveDefinite(d)])
     sqrt_s = math.sqrt(scaling)
-    with jax.default_device(jax.devices("cpu")[0]):
+    with jax.default_device(local_cpu()):
         J, R, Q = man.random_point(_cpu_key(key))
         J, R, Q = sqrt_s * J, sqrt_s * R, sqrt_s * Q
         A = (J - R) @ Q
@@ -403,7 +405,7 @@ def generate_interior_initialpoint_lsq(
         return man.egrad2rgrad(x, egrad(x))
 
     key = _cpu_key(key)
-    cpu = jax.devices("cpu")[0]
+    cpu = local_cpu()
     for _ in range(max_tries):
         with jax.default_device(cpu):
             key, sub = jax.random.split(key)
@@ -444,7 +446,7 @@ def generate_interior_initialpoint(
     option.update(ralm_option or {})
 
     key = _cpu_key(key)
-    cpu = jax.devices("cpu")[0]
+    cpu = local_cpu()
     for attempt in range(max_tries):
         with jax.default_device(cpu):
             key, sub = jax.random.split(key)

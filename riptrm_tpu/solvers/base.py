@@ -110,6 +110,7 @@ def host_run(
     status_row,  # (state, info) -> status dict for the log
     get_x,  # state -> x
     verbosity_line=None,  # (iteration, eval) -> str, optional
+    stop_flag=None,  # (state, info) -> Optional[str]: solver-raised stop
 ):
     """Shared host-driven loop for the single-level solvers (RIPM / RSQO /
     RALM): evaluate -> log -> stop checks -> step, with the reference's
@@ -172,6 +173,16 @@ def host_run(
                 print(f"Error: {e}")
                 break
             raise
+        if stop_flag is not None:
+            reason = stop_flag(state, info)
+            if reason:
+                # Log the flagged iteration's row before exiting so the
+                # diagnosis is in the CSV (the reference's graceful
+                # exit-with-logs on solver errors, ``RIPM.py:764-769``).
+                ev = evaluate(x_prev, state)
+                log.add(iteration, clock.elapsed(), ev, status_row(state, info))
+                stop_reason = reason
+                break
     return state, log.as_dict(), stop_reason
 
 

