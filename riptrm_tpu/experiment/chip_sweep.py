@@ -259,6 +259,10 @@ def main(argv=None):
     parser.add_argument("--maxiter", type=int, default=60,
                         help="outer-iteration cap per lane")
     parser.add_argument("--tolresid", type=float, default=3e-4)
+    parser.add_argument("--compensated", action="store_true",
+                        help="compensated (double-word f32) complementarity "
+                             "norm + ared barrier sum (ops/compensated.py) "
+                             "— floor-measurement mode")
     parser.add_argument("--pallas", action="store_true",
                         help="route tCG through the fused Pallas kernel "
                              "(sphere_quadratic and stiefel_bound "
@@ -313,6 +317,7 @@ def main(argv=None):
         "TRS_solver": "Exact_RepMat" if args.exact else "tCG",
         "second_order_stationarity": args.exact,
         "use_pallas_tcg": args.pallas,
+        "compensated_reductions": args.compensated,
         "forcing_function_Lagrangian": lambda mu: jnp.maximum(mu, 1e-4),
         "forcing_function_complementarity": (
             lambda mu: jnp.maximum(1e-3 * mu, compl_floor)

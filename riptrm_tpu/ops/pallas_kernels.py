@@ -295,7 +295,11 @@ def _tcg_kernel_batched(
     def matvec3(v):
         v_hi = v.astype(jnp.bfloat16)
         v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+        # precision must be EXPLICIT: an ambient jax_default_matmul_precision
+        # of 'high' (chip_sweep sets it) would leak in, and Mosaic lowers
+        # only DEFAULT and HIGHEST dots.
+        d = lambda a, b: jnp.dot(a, b, precision=jax.lax.Precision.DEFAULT,
+                                 preferred_element_type=jnp.float32)
         return d(v_hi, z_hi) + d(v_hi, z_lo) + d(v_lo, z_hi)
 
     def hw(v):
@@ -758,7 +762,10 @@ def _tcg_kernel_stiefel(
     def matvec3(v):
         v_hi = v.astype(jnp.bfloat16)
         v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        d = lambda a, b_: jnp.dot(a, b_, preferred_element_type=jnp.float32)
+        # explicit DEFAULT: Mosaic rejects an inherited 'high' ambient
+        # default (chip_sweep sets one), and the bf16x3 split IS 'high'.
+        d = lambda a, b_: jnp.dot(a, b_, precision=jax.lax.Precision.DEFAULT,
+                                  preferred_element_type=jnp.float32)
         return d(z_hi, v_hi) + d(z_lo, v_hi) + d(z_hi, v_lo)
 
     def hw(v):

@@ -126,6 +126,13 @@ def default_option():
         # the problem carries matching structure metadata (VMEM-resident
         # subproblem; float32).
         "use_pallas_tcg": False,
+        # Compensated (double-word f32) forms of the two scalar reductions
+        # that set the batched-lane stall floor: the complementarity norm
+        # (TwoProd/TwoSum + compensated tree sum) and the ared barrier
+        # log-ratio term (log1p of the exact relative slack move).  A few
+        # extra VPU flops per step; see ops/compensated.py and the BENCH.md
+        # floor measurements.
+        "compensated_reductions": False,
         "verbosity": 0,
         "save_inner_iteration": True,
         "wandb_logging": False,
@@ -358,7 +365,12 @@ def make_step(problem, option):
         xfeas = jnp.all(c_new > 0)
         yfeas = jnp.all(y_new > 0)
         norm_grad_lag = man.norm(x_new, problem.lag_rgrad(x_new, y_new))
-        compl = jnp.linalg.norm(y_new * c_new - mu)
+        if option["compensated_reductions"]:
+            from riptrm_tpu.ops.compensated import complementarity_norm
+
+            compl = complementarity_norm(y_new, c_new, mu)
+        else:
+            compl = jnp.linalg.norm(y_new * c_new - mu)
         crit_lag = norm_grad_lag <= ff_lag(mu)
         crit_compl = compl <= ff_compl(mu)
 
@@ -414,11 +426,18 @@ def make_step(problem, option):
         # cancel catastrophically in f32, so compute the difference directly:
         # ared = [f(x) - f(xNew)] + mu * sum(log(cNew_i / c_i)) — identical in
         # exact arithmetic, conditioned on the (small) per-element ratios.
-        safe_c = jnp.where(c > 0, c, 1.0)
-        ratio = jnp.where((c_new > 0) & (c > 0), c_new / safe_c, 1.0)
-        ared_raw = (problem.cost(x) - problem.cost(x_new)) + mu * jnp.sum(
-            jnp.log(ratio)
-        )
+        if option["compensated_reductions"]:
+            from riptrm_tpu.ops.compensated import barrier_log_ratio_sum
+
+            ared_raw = (
+                problem.cost(x) - problem.cost(x_new)
+            ) + barrier_log_ratio_sum(c_new, c, mu)
+        else:
+            safe_c = jnp.where(c > 0, c, 1.0)
+            ratio = jnp.where((c_new > 0) & (c > 0), c_new / safe_c, 1.0)
+            ared_raw = (problem.cost(x) - problem.cost(x_new)) + mu * jnp.sum(
+                jnp.log(ratio)
+            )
         phi_cur = _log_barrier(problem, x, mu)  # scale only (regularization)
         red_reg = (
             jnp.maximum(1.0, jnp.abs(phi_cur))
