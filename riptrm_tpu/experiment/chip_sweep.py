@@ -51,7 +51,11 @@ def build_sweep(problem_name: str, size: int, batch: int, seed: int = 0):
     import jax
     import jax.numpy as jnp
 
-    key = jax.random.PRNGKey(seed)
+    # Build the key on the HOST backend: PRNGKey on the default (TPU)
+    # device is a remote one-shot program through the tunnel, and a wedged
+    # axon service turns it into minutes of gen_s (CLAUDE.md).
+    with jax.default_device(_cpu_device()):
+        key = jax.random.PRNGKey(seed)
 
     if problem_name == "NonnegPCA":
         from riptrm_tpu.problems import nonneg_pca
@@ -282,8 +286,17 @@ def main(argv=None):
              "— with a certified diagonal shift (identical whenever the "
              "Hessian is already sufficiently PD); 'reghess' is the "
              "reference-exact clamp")
+    parser.add_argument("--precision", choices=["high", "highest"],
+                        default=None,
+                        help="default matmul precision (default: 'highest' "
+                             "for BoundedPCA — measured, BENCH.md: its "
+                             "inner loop cannot satisfy the complementarity "
+                             "criterion at 'high'-class matvec noise — "
+                             "'high' for everything else)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
+    if args.precision is None:
+        args.precision = "highest" if args.problem == "BoundedPCA" else "high"
     if args.exact and args.pallas:
         parser.error(
             "--pallas applies to the tCG subproblem only; the exact mode "
@@ -300,7 +313,7 @@ def main(argv=None):
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_default_matmul_precision", "high")
+    jax.config.update("jax_default_matmul_precision", args.precision)
     import jax.numpy as jnp
 
     t0 = time.time()

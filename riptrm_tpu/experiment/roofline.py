@@ -1,0 +1,207 @@
+"""Roofline / MFU accounting for the fused batched Pallas tCG kernels.
+
+Anchors "fast" to the hardware instead of the NumPy baseline (BENCH.md
+MFU section): measures achieved FLOP/s of ``_tcg_kernel_batched``
+(sphere_quadratic) and ``_tcg_kernel_stiefel`` (stiefel_bound) and states
+them against the chip's MXU peak.
+
+FLOP model (per tCG iteration, B lanes, dimension n):
+  sphere:  one [B, n] x [n, n] matvec in bf16x3 (3 MXU passes)
+           = 3 * 2*B*n^2 MAC-FLOPs, plus O(40*B*n) VPU elementwise.
+  stiefel: one [n, Bp] x [n, n] matvec (bf16x3) + the lane-masked
+           [Bp, Bp] contractions (proj/lane_sum: 4 HIGHEST dots)
+           = 6*n*Bp*(n + ~2*Bp) (HIGHEST dots cost ~6 passes).
+
+Peaks (TPU v5e, single chip): 197 TFLOP/s bf16; the bf16x3 'high' scheme
+retires 3 MXU passes per logical f32 matmul, so its EFFECTIVE f32 peak is
+197/3 = 65.7 TFLOP/s.  A [B, n] operand with B < 128 fills only B of the
+MXU's 128 systolic rows, capping utilization at B/128 regardless of
+kernel quality — the measurement sweeps B to expose exactly that.
+
+Methodology: marginal rate between two scan-chain lengths, each ending in
+a forced host fetch (CLAUDE.md tunnel rules); iteration counts read back
+from the kernel's own stats output (the while loop runs to the slowest
+live lane, so trips = max over lanes).
+
+    python -m riptrm_tpu.experiment.roofline [--sizes 1000] [--batches 16 64 128]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+PEAK_BF16 = 197e12  # TPU v5e single-chip MXU peak, FLOP/s
+PEAK_BF16X3 = PEAK_BF16 / 3.0  # effective f32 ('high' scheme) peak
+
+
+def _measure_chain(make_chain, lens=(2, 10), tries=7):
+    f_s, f_l = make_chain(lens[0]), make_chain(lens[1])
+    np.asarray(f_s()), np.asarray(f_l())  # compile + warm
+
+    def timed(f):
+        ts = []
+        for _ in range(tries):
+            t0 = time.perf_counter()
+            np.asarray(f())
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    dt = max(timed(f_l) - timed(f_s), 1e-4)
+    return (lens[1] - lens[0]) / dt  # kernel calls per second
+
+
+def sphere_case(jax, jnp, n, b, maxinner):
+    from riptrm_tpu.ops.pallas_kernels import pallas_tcg_sphere_quadratic_batched
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    z = jax.random.normal(ks[0], (n, n), jnp.float32)
+    z = (z + z.T) / (2 * np.sqrt(n))
+    xs = jnp.abs(jax.random.normal(ks[1], (b, n), jnp.float32)) + 0.1
+    xs = xs / jnp.linalg.norm(xs, axis=1, keepdims=True)
+    ws = jnp.abs(jax.random.normal(ks[2], (b, n), jnp.float32)) + 1.0
+    grads = jax.random.normal(ks[3], (b, n), jnp.float32) * 0.1
+    grads = grads - jnp.sum(grads * xs, axis=1, keepdims=True) * xs
+    radii = jnp.full((b,), 0.7, jnp.float32)
+
+    def call(g):
+        eta, heta, iters, code = pallas_tcg_sphere_quadratic_batched(
+            z, xs, ws, g, radii, maxinner=maxinner
+        )
+        return eta, iters
+
+    def make_chain(k_calls):
+        def run():
+            def body(g, _):
+                eta, iters = call(g)
+                # data-couple successive calls without changing the problem
+                # class: re-project a scaled copy of eta as the next grad
+                g2 = eta * 1e-6 + grads
+                g2 = g2 - jnp.sum(g2 * xs, axis=1, keepdims=True) * xs
+                return g2, iters
+
+            gf, it = jax.lax.scan(body, grads, None, length=k_calls)
+            return it[-1]
+
+        f = jax.jit(run)
+        return lambda: f()
+
+    iters = np.asarray(call(grads)[1])
+    trips = int(iters.max())
+    calls_per_s = _measure_chain(make_chain)
+    flops_per_call = trips * (6.0 * b * n * n + 40.0 * b * n)
+    return trips, calls_per_s, flops_per_call
+
+
+def stiefel_case(jax, jnp, n, b, p, maxinner):
+    from riptrm_tpu.ops.pallas_kernels import (
+        _stiefel_bound_pieces,
+        pallas_tcg_stiefel_bound_batched,
+    )
+
+    key = jax.random.PRNGKey(1)
+    ks = jax.random.split(key, 4)
+    z = jax.random.normal(ks[0], (n, n), jnp.float32)
+    z = (z + z.T) / (2 * np.sqrt(n))
+    d = 1.0 + jnp.arange(p - 1, -1, -1, dtype=jnp.float32) / p
+    q, _ = jnp.linalg.qr(jax.random.normal(ks[1], (b, n, p), jnp.float32))
+    xs = 0.7 * q  # strictly inside |x| <= 0.8
+    bound = 0.8
+    m = n * p
+    ys = jnp.abs(jax.random.normal(ks[2], (b, 2 * m), jnp.float32)) * 0.1 + 0.05
+    cs = jnp.concatenate(
+        [(bound - xs).reshape(b, m), (bound + xs).reshape(b, m)], axis=1
+    )
+    grads = jax.random.normal(ks[3], (b, n, p), jnp.float32) * 0.1
+    radii = jnp.full((b,), 0.7, jnp.float32)
+
+    ws, ss = jax.vmap(lambda x, y, c: _stiefel_bound_pieces(z, d, x, y, c))(
+        xs, ys, cs
+    )
+
+    def call(g):
+        eta, heta, iters, code = pallas_tcg_stiefel_bound_batched(
+            z, d, xs, ws, ss, g, radii, maxinner=maxinner
+        )
+        return eta, iters
+
+    def make_chain(k_calls):
+        def run():
+            def body(g, _):
+                eta, iters = call(g)
+                return grads + eta * 1e-6, iters
+
+            gf, it = jax.lax.scan(body, grads, None, length=k_calls)
+            return it[-1]
+
+        f = jax.jit(run)
+        return lambda: f()
+
+    iters = np.asarray(call(grads)[1])
+    trips = int(iters.max())
+    calls_per_s = _measure_chain(make_chain)
+    bp = b * p
+    # conservative model: the bf16x3 matvec only (the HIGHEST-precision
+    # [Bp, Bp] lane contractions are counted as overhead, so %peak is a
+    # lower bound)
+    flops_per_iter = 6.0 * bp * n * n
+    flops_per_call = trips * flops_per_iter
+    return trips, calls_per_s, flops_per_call
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--sizes", type=int, nargs="+", default=[1000])
+    parser.add_argument("--batches", type=int, nargs="+", default=[16, 64, 128])
+    parser.add_argument("--maxinner", type=int, default=64)
+    parser.add_argument("--stiefel-n", type=int, default=128)
+    parser.add_argument("--stiefel-p", type=int, default=8)
+    args = parser.parse_args(argv)
+
+    from riptrm_tpu.config import setup
+
+    jax = setup(x64=False)
+    import jax.numpy as jnp
+
+    rows = []
+    for n in args.sizes:
+        for b in args.batches:
+            trips, calls_s, flops = sphere_case(jax, jnp, n, b, args.maxinner)
+            achieved = calls_s * flops
+            rows.append({
+                "kernel": "tcg_sphere_batched", "n": n, "B": b,
+                "tcg_iters": trips,
+                "kernel_calls_per_s": round(calls_s, 1),
+                "achieved_tflops": round(achieved / 1e12, 2),
+                "pct_bf16_peak": round(100 * achieved / PEAK_BF16, 2),
+                "pct_bf16x3_peak": round(100 * achieved / PEAK_BF16X3, 2),
+                "mxu_row_fill_cap_pct": round(100 * min(b, 128) / 128, 1),
+            })
+            print(json.dumps(rows[-1]), flush=True)
+
+    for b in args.batches:
+        bp = b * args.stiefel_p
+        trips, calls_s, flops = stiefel_case(
+            jax, jnp, args.stiefel_n, b, args.stiefel_p, args.maxinner
+        )
+        achieved = calls_s * flops
+        rows.append({
+            "kernel": "tcg_stiefel_batched", "n": args.stiefel_n, "B": b,
+            "p": args.stiefel_p, "lanes_Bp": bp,
+            "tcg_iters": trips,
+            "kernel_calls_per_s": round(calls_s, 1),
+            "achieved_tflops": round(achieved / 1e12, 2),
+            "pct_bf16_peak": round(100 * achieved / PEAK_BF16, 2),
+            "pct_bf16x3_peak": round(100 * achieved / PEAK_BF16X3, 2),
+            "mxu_row_fill_cap_pct": round(100 * min(bp, 128) / 128, 1),
+        })
+        print(json.dumps(rows[-1]), flush=True)
+    return rows
+
+
+if __name__ == "__main__":
+    main()

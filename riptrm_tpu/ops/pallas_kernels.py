@@ -754,19 +754,19 @@ def _tcg_kernel_stiefel(
         return u - jnp.dot(x, m, precision=hi,
                            preferred_element_type=jnp.float32)
 
-    # bf16x3 Z matvec as in _tcg_kernel_batched (hoisted hi/lo split)
+    # HIGHEST-precision Z matvec — NOT the sphere kernel's bf16x3 scheme:
+    # measured on-chip (BENCH.md precision notes), the stiefel_bound inner
+    # loop never satisfies its complementarity criterion at 'high'-class
+    # matvec noise (the tCG direction error keeps the accept/reject cycle
+    # churning at full TR radius; compl plateaus at ~8e-3 vs the 6.4e-4
+    # threshold at St(128,8)), while 6-pass bf16 converges to the mu floor.
+    # Compensated reductions were measured NOT to move this floor — the
+    # noise enters through the direction, not the criterion's reduction.
     z32 = z_ref[:]
-    z_hi = z32.astype(jnp.bfloat16)
-    z_lo = (z32 - z_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     def matvec3(v):
-        v_hi = v.astype(jnp.bfloat16)
-        v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        # explicit DEFAULT: Mosaic rejects an inherited 'high' ambient
-        # default (chip_sweep sets one), and the bf16x3 split IS 'high'.
-        d = lambda a, b_: jnp.dot(a, b_, precision=jax.lax.Precision.DEFAULT,
-                                  preferred_element_type=jnp.float32)
-        return d(z_hi, v_hi) + d(z_lo, v_hi) + d(z_hi, v_lo)
+        return jnp.dot(z32, v, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
 
     def hw(v):
         vs = jnp.dot(v, sblk, precision=hi,
