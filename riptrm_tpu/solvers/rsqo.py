@@ -74,35 +74,31 @@ def _shift_regularize(q, thld, corr):
 
     The clamp needs a full eigh every SQP step, which dominates batched
     sweeps on TPU (measured 18.3 ms/step for 16 lanes of dim=199 on a v5e —
-    more than the rest of the step combined).  Here: lambda_min is
-    estimated with two short power iterations (pure dim^2 matvecs), the
-    shift s = max(0, corr - lambda_min_est) is CERTIFIED by a Cholesky
-    factorization check and escalated x4 until the factor is finite, so
-    Q + sI is guaranteed PD.  Whenever Q is already sufficiently PD
-    (lambda_min >= thld — every late SQP step at a strict minimizer) the
-    shift is ~0 and the regularized Q coincides with the reference clamp;
-    on indefinite early steps both are (different) valid PD
-    regularizations and the SQP converges to the same KKT point.
+    more than the rest of the step combined).  Here: the extreme
+    eigenvalues are estimated with one short dense Lanczos (k=12 matvecs —
+    replaces the original 36 sequential power iterations at better
+    accuracy; Ritz extremes converge geometrically where power iteration
+    crawls on clustered spectra), the shift s = max(0, corr -
+    lambda_min_est) is CERTIFIED by a Cholesky factorization check and
+    escalated x4 until the factor is finite, so Q + sI is guaranteed PD
+    even when the Ritz minimum overestimates lambda_min.  Whenever Q is
+    already sufficiently PD (lambda_min >= thld — every late SQP step at a
+    strict minimizer) the shift is ~0 and the regularized Q coincides with
+    the reference clamp; on indefinite early steps both are (different)
+    valid PD regularizations and the SQP converges to the same KKT point.
     """
+    from riptrm_tpu.ops.spectrum import lanczos
+
     dim = q.shape[0]
     dt = q.dtype
     eye = jnp.eye(dim, dtype=dt)
-    # deterministic, non-symmetric start (no RNG in the solver path)
+    # deterministic start (no RNG in the solver path)
     v0 = jnp.ones((dim,), dtype=dt) + jnp.linspace(0.0, 1.0, dim, dtype=dt)
     v0 = v0 / jnp.linalg.norm(v0)
 
-    def power(mat, v, iters):
-        def body(v, _):
-            w = mat @ v
-            return w / jnp.maximum(jnp.linalg.norm(w), jnp.finfo(dt).tiny), None
-
-        v, _ = jax.lax.scan(body, v, None, length=iters)
-        return v @ (mat @ v)
-
-    rho_max = power(q, v0, 12)  # Rayleigh estimate of the top eigenvalue
-    shift_top = 1.01 * jnp.abs(rho_max) + thld
-    rho_b = power(shift_top * eye - q, v0, 24)
-    lam_min_est = shift_top - rho_b
+    k = min(12, dim)
+    _, _, ritz = lanczos(lambda v: q @ v, v0, lambda u, w: u @ w, k)
+    lam_min_est, rho_max = ritz[0], ritz[-1]
     s0 = jnp.maximum(
         0.0, corr - lam_min_est + 0.01 * jnp.abs(lam_min_est) + thld
     ).astype(dt)
