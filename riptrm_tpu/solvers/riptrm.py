@@ -103,6 +103,12 @@ def default_option():
         "forcing_function_second_order": lambda mu: mu,
         "min_barrier_parameter": 1e-15,
         "TRS_solver": "Exact_RepMat",  # or 'tCG'
+        # Exact-mode TRS algorithm: 'eigh' (dense eigendecomposition — the
+        # reference-faithful route), 'ms' (safeguarded More-Sorensen by
+        # Cholesky + dense-Lanczos extremes — measured 188x cheaper per
+        # factorization than eigh at n=999 on a v5e, BENCH.md), or 'auto'
+        # (ms at dim >= 256 where eigh dominates the step, eigh below).
+        "exact_trs_method": "auto",
         "second_order_stationarity": True,
         # tCG mode checks the second-order criterion matrix-free: Lanczos
         # Ritz extremes of Hw (this many HVPs), run only when the
@@ -215,6 +221,10 @@ def make_step(problem, option):
     man = problem.manifold
     dim = man.dim
     exact = option["TRS_solver"] == "Exact_RepMat"
+    trs_method = option["exact_trs_method"]
+    if trs_method == "auto":
+        trs_method = "ms" if dim >= 256 else "eigh"
+    trs_ms = exact and trs_method == "ms"
     second_order = option["second_order_stationarity"]
     ff_lag = option["forcing_function_Lagrangian"]
     ff_compl = option["forcing_function_complementarity"]
@@ -257,12 +267,39 @@ def make_step(problem, option):
                 kappa=option["tCG_kappa"],
             )
 
+    def _dense_ritz(h_mat):
+        """Extreme Ritz estimates of a dense materialized Hw (cheap: 32
+        dense matvecs ~ 0.2 ms at n=999 on a v5e vs eigh's 28.9 ms)."""
+        from riptrm_tpu.ops.spectrum import lanczos
+
+        dt = h_mat.dtype
+        v0 = jnp.ones((dim,), dtype=dt) + jnp.linspace(0.0, 1.0, dim, dtype=dt)
+        v0 = v0 / jnp.linalg.norm(v0)
+        _, _, ritz = lanczos(
+            lambda v: h_mat @ v, v0, lambda u, w: u @ w, min(32, dim)
+        )
+        return ritz[0], ritz[-1]
+
     def materialize_at(x, y, mu):
+        """Exact-mode cache payload at (x, y, mu).
+
+        eigh mode: (eigenvalues, eigenvectors, c_vec) — Hw in decomposed
+        form.  ms mode: h_q holds the RAW materialized matrix and h_lam
+        carries only the Lanczos extreme estimates at [0]/[-1] (same state
+        shapes, so checkpoints and the compiled carries are mode-agnostic).
+        """
         basis = man.basis(x)
         c, hw, cx = _barrier_ops(problem, x, y, mu)
         h_mat = materialize_symmetrized(man, x, basis, hw)
-        h_lam, h_q = jnp.linalg.eigh(h_mat)
         c_vec = man.to_coords(x, basis, cx)
+        if trs_ms:
+            lam_lo, lam_hi = _dense_ritz(h_mat)
+            pad = jnp.zeros((dim - 2,), dtype=h_mat.dtype) if dim > 2 else (
+                jnp.zeros((0,), dtype=h_mat.dtype)
+            )
+            h_lam = jnp.concatenate([lam_lo[None], pad, lam_hi[None]])[:dim]
+            return h_lam, h_mat, c_vec
+        h_lam, h_q = jnp.linalg.eigh(h_mat)
         return h_lam, h_q, c_vec
 
     def outer_update(mu):
@@ -288,9 +325,20 @@ def make_step(problem, option):
                 lambda: materialize_at(x, y, mu),
             )
             basis = man.basis(x)
-            coeff, lam1, trs_code, p_c = solve_trs_eig(h_lam, h_q, c_vec, tr_radius)
+            if trs_ms:
+                from riptrm_tpu.ops.trs import solve_trs_ms
+
+                coeff, lam1, trs_code, _ = solve_trs_ms(
+                    h_q, c_vec, tr_radius, lam_est=(h_lam[0], h_lam[-1])
+                )
+                h_coeff = h_q @ coeff  # h_q holds the raw Hw matrix
+                hw_dx_dx = coeff @ h_coeff
+            else:
+                coeff, lam1, trs_code, p_c = solve_trs_eig(
+                    h_lam, h_q, c_vec, tr_radius
+                )
+                hw_dx_dx = p_c @ (h_lam * p_c)
             dx = man.from_coords(x, basis, coeff)
-            hw_dx_dx = p_c @ (h_lam * p_c)
             cx_dx = c_vec @ coeff
             dxtype = trs_code
         else:
@@ -351,7 +399,10 @@ def make_step(problem, option):
                 "TRS_mineig": mineig_hw,
             }
             if exact:
-                kkt_vec = h_q @ (h_lam * p_c) + lam1 * coeff + c_vec
+                if trs_ms:
+                    kkt_vec = h_coeff + lam1 * coeff + c_vec
+                else:
+                    kkt_vec = h_q @ (h_lam * p_c) + lam1 * coeff + c_vec
                 trs_check["TRS_KKTresid"] = jnp.linalg.norm(kkt_vec)
                 trs_check["TRS_compl"] = lam1 * (tr_radius - normdx)
 

@@ -198,3 +198,111 @@ class TestMaterialize:
         # ambient version has an extra 0 eigenvalue along x
         wa = np.delete(wa, np.argmin(np.abs(wa)))
         np.testing.assert_allclose(w, wa, atol=1e-8)
+
+
+class TestTRSMoreSorensen:
+    """solve_trs_ms (Cholesky More-Sorensen) vs the eigh-based solve_trs.
+
+    Measured motivation (BENCH.md linalg probe): at n=999 f32 on a v5e,
+    eigh costs 28.9 ms while cholesky costs 0.154 ms, so exact mode at
+    large dim routes through this solver (`exact_trs_method='auto'`).
+    """
+
+    def _compare(self, A, a, radius, rel_tol):
+        from riptrm_tpu.ops.trs import solve_trs, solve_trs_ms
+
+        A = jnp.asarray(A)
+        a = jnp.asarray(a)
+        x1, l1, c1 = solve_trs(A, a, radius)
+        x2, l2, c2, me = solve_trs_ms(A, a, radius)
+
+        def model(x):
+            return float(0.5 * x @ A @ x + a @ x)
+
+        m1, m2 = model(x1), model(x2)
+        assert m2 <= m1 + rel_tol * max(abs(m1), 1e-10)
+        if int(c2) != 0:
+            assert abs(float(jnp.linalg.norm(x2)) - radius) <= 1e-4 * radius
+        else:
+            assert float(jnp.linalg.norm(x2)) <= radius * (1 + 1e-6)
+        return int(c1), int(c2), float(me)
+
+    def test_random_cases(self):
+        rng = np.random.default_rng(0)
+        for trial in range(12):
+            n = 50
+            B = rng.normal(size=(n, n))
+            A = (B + B.T) / 2
+            if trial % 3 == 1:
+                A = A @ A.T / n + np.eye(n)
+            a = rng.normal(size=n) * (10.0 ** rng.integers(-2, 2))
+            radius = float(10.0 ** rng.integers(-1, 2))
+            self._compare(A, a, radius, 1e-5)
+
+    def test_interior(self):
+        rng = np.random.default_rng(1)
+        B = rng.normal(size=(30, 30))
+        A = B @ B.T / 30 + np.eye(30)
+        a = rng.normal(size=30) * 1e-2
+        c1, c2, _ = self._compare(A, a, 100.0, 1e-8)
+        assert c1 == 0 and c2 == 0
+
+    def test_hard_case_geometry(self):
+        rng = np.random.default_rng(2)
+        B = rng.normal(size=(40, 40))
+        A = (B + B.T) / 2
+        w, q = np.linalg.eigh(A)
+        a = rng.normal(size=40)
+        a = (a - q[:, 0] * (q[:, 0] @ a)) * 1e-3  # orthogonal to v_min
+        # hard-case solutions are non-unique; compare MODEL value only,
+        # at a looser tolerance (the completion eigenvector is iterative)
+        self._compare(A, a, 1.0, 2e-4)
+
+    def test_mineig_estimate(self):
+        rng = np.random.default_rng(3)
+        from riptrm_tpu.ops.trs import solve_trs_ms
+
+        B = rng.normal(size=(60, 60))
+        A = (B + B.T) / 2
+        a = rng.normal(size=60)
+        _, _, _, me = solve_trs_ms(jnp.asarray(A), jnp.asarray(a), 1.0)
+        true_min = np.linalg.eigvalsh(A)[0]
+        assert abs(float(me) - true_min) <= 1e-6 * max(1.0, abs(true_min))
+
+    def test_f32(self):
+        rng = np.random.default_rng(4)
+        from riptrm_tpu.ops.trs import solve_trs, solve_trs_ms
+
+        B = rng.normal(size=(80, 80)).astype(np.float32)
+        A32 = jnp.asarray((B + B.T) / 2, jnp.float32)
+        a32 = jnp.asarray(rng.normal(size=80), jnp.float32)
+        x2, l2, c2, _ = solve_trs_ms(A32, a32, 1.0)
+        A64 = jnp.asarray(np.asarray(A32), jnp.float64)
+        a64 = jnp.asarray(np.asarray(a32), jnp.float64)
+        x1, _, _ = solve_trs(A64, a64, 1.0)
+        m1 = float(0.5 * x1 @ A64 @ x1 + a64 @ x1)
+        x2_64 = jnp.asarray(np.asarray(x2), jnp.float64)
+        m2 = float(0.5 * x2_64 @ A64 @ x2_64 + a64 @ x2_64)
+        assert m2 <= m1 + 1e-5 * abs(m1)
+
+
+def test_exact_mode_ms_matches_eigh_end_to_end():
+    """RIPTRM Exact_RepMat with exact_trs_method='ms' reproduces the 'eigh'
+    trajectory on the golden NonnegPCA instance (identical rows + final
+    residual at x64; verified identical to all digits when added)."""
+    from riptrm_tpu.problems import nonneg_pca
+    from riptrm_tpu.solvers.riptrm import RIPTRM
+
+    p = nonneg_pca.load_problem("dataset/NonnegPCA/1", "a")
+    base = {
+        "maxtime": 120, "maxiter": 40, "TRS_solver": "Exact_RepMat",
+        "second_order_stationarity": True, "tolresid": 1e-10,
+    }
+    out_e = RIPTRM(base | {"exact_trs_method": "eigh"}).run(p)
+    out_m = RIPTRM(base | {"exact_trs_method": "ms"}).run(p)
+    assert out_e.log["residual"][-1] <= 1e-10
+    assert out_m.log["residual"][-1] <= 1e-10
+    assert len(out_e.log["residual"]) == len(out_m.log["residual"])
+    np.testing.assert_allclose(
+        np.asarray(out_m.x), np.asarray(out_e.x), atol=1e-8
+    )
