@@ -166,6 +166,8 @@ def profile_exact(n=1000):
     out = {k: round(v, 3) for k, v in out.items()}
     out.update(n=n, dim=dim, device=str(jax.devices()[0]))
     print(json.dumps(out), flush=True)
+    with open("result/profile_parts_exact.json", "w") as f:
+        json.dump(out, f, indent=1)
 
 
 def profile_rsqo(n=200, B=16):
@@ -285,6 +287,8 @@ def profile_rsqo(n=200, B=16):
     out = {k: round(v, 3) for k, v in out.items()}
     out.update(n=n, B=B, dim=dim, device=str(jax.devices()[0]))
     print(json.dumps(out), flush=True)
+    with open("result/profile_parts_rsqo.json", "w") as f:
+        json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":

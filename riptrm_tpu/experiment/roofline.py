@@ -59,18 +59,28 @@ def sphere_case(jax, jnp, n, b, maxinner):
 
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 4)
+    # MFU measurement wants the kernel in STEADY STATE (~maxinner tCG
+    # iterations/call), so the quadratic is made PD with a wide eigenvalue
+    # spread and every stop condition is pushed out of reach: Z scaled tiny
+    # (the [B,n]x[n,n] matvec cost is data-independent; the barrier diagonal
+    # w in [1, 100] then dominates and keeps curvature positive), radius
+    # effectively infinite (no boundary exit), kappa -> 0 (no convergence
+    # exit), mininner = maxinner.  Early runs with a realistic indefinite
+    # quadratic exited at iteration 1 (negative curvature) and measured call
+    # overhead, not throughput.
     z = jax.random.normal(ks[0], (n, n), jnp.float32)
-    z = (z + z.T) / (2 * np.sqrt(n))
+    z = (z + z.T) * (1e-3 / (2 * np.sqrt(n)))
     xs = jnp.abs(jax.random.normal(ks[1], (b, n), jnp.float32)) + 0.1
     xs = xs / jnp.linalg.norm(xs, axis=1, keepdims=True)
-    ws = jnp.abs(jax.random.normal(ks[2], (b, n), jnp.float32)) + 1.0
+    ws = 1.0 + 99.0 * jax.random.uniform(ks[2], (b, n), dtype=jnp.float32)
     grads = jax.random.normal(ks[3], (b, n), jnp.float32) * 0.1
     grads = grads - jnp.sum(grads * xs, axis=1, keepdims=True) * xs
-    radii = jnp.full((b,), 0.7, jnp.float32)
+    radii = jnp.full((b,), 1e18, jnp.float32)
 
     def call(g):
         eta, heta, iters, code = pallas_tcg_sphere_quadratic_batched(
-            z, xs, ws, g, radii, maxinner=maxinner
+            z, xs, ws, g, radii,
+            maxinner=maxinner, mininner=maxinner, kappa=1e-30,
         )
         return eta, iters
 
@@ -105,8 +115,11 @@ def stiefel_case(jax, jnp, n, b, p, maxinner):
 
     key = jax.random.PRNGKey(1)
     ks = jax.random.split(key, 4)
+    # Same steady-state construction as sphere_case: tiny Z (PD quadratic
+    # dominated by the positive barrier weights), unbounded radius, no
+    # convergence target (see sphere_case comment).
     z = jax.random.normal(ks[0], (n, n), jnp.float32)
-    z = (z + z.T) / (2 * np.sqrt(n))
+    z = (z + z.T) * (1e-3 / (2 * np.sqrt(n)))
     d = 1.0 + jnp.arange(p - 1, -1, -1, dtype=jnp.float32) / p
     q, _ = jnp.linalg.qr(jax.random.normal(ks[1], (b, n, p), jnp.float32))
     xs = 0.7 * q  # strictly inside |x| <= 0.8
@@ -117,7 +130,7 @@ def stiefel_case(jax, jnp, n, b, p, maxinner):
         [(bound - xs).reshape(b, m), (bound + xs).reshape(b, m)], axis=1
     )
     grads = jax.random.normal(ks[3], (b, n, p), jnp.float32) * 0.1
-    radii = jnp.full((b,), 0.7, jnp.float32)
+    radii = jnp.full((b,), 1e18, jnp.float32)
 
     ws, ss = jax.vmap(lambda x, y, c: _stiefel_bound_pieces(z, d, x, y, c))(
         xs, ys, cs
@@ -125,7 +138,8 @@ def stiefel_case(jax, jnp, n, b, p, maxinner):
 
     def call(g):
         eta, heta, iters, code = pallas_tcg_stiefel_bound_batched(
-            z, d, xs, ws, ss, g, radii, maxinner=maxinner
+            z, d, xs, ws, ss, g, radii,
+            maxinner=maxinner, mininner=maxinner, kappa=1e-30,
         )
         return eta, iters
 
@@ -160,6 +174,7 @@ def main(argv=None):
     parser.add_argument("--maxinner", type=int, default=64)
     parser.add_argument("--stiefel-n", type=int, default=128)
     parser.add_argument("--stiefel-p", type=int, default=8)
+    parser.add_argument("--out", default="result/roofline.json")
     args = parser.parse_args(argv)
 
     from riptrm_tpu.config import setup
@@ -200,6 +215,13 @@ def main(argv=None):
             "mxu_row_fill_cap_pct": round(100 * min(bp, 128) / 128, 1),
         })
         print(json.dumps(rows[-1]), flush=True)
+    if args.out:
+        import jax as _jax
+
+        with open(args.out, "w") as f:
+            json.dump(
+                {"device": str(_jax.devices()[0]), "rows": rows}, f, indent=1
+            )
     return rows
 
 

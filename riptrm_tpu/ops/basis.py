@@ -66,6 +66,48 @@ def materialize_sharded(manifold, x, basis, op, mesh, axis: str = "tp"):
     return fn(eye).T
 
 
+def sphere_householder_congruence(x, a_mat, kappa):
+    """Closed-form O(n^2) coordinate materialization on the sphere.
+
+    For an operator ``op(v) = P a_mat v - kappa * v`` on tangent vectors at
+    ``x`` in S^{n-1} (P = I - xx'; every Riemannian Hessian on the sphere has
+    this form, ``manifolds/sphere.py::ehess2rhess``), the representing matrix
+    in the Householder basis of ``Sphere.basis`` is the congruence
+
+        (H a_mat H)[:n-1, :n-1] - kappa I,   H = I - beta w w',
+
+    with w = x + sign(x_n) e_n.  H a_mat H expands to two symmetric rank-1
+    updates around ONE a_mat @ w matvec — O(n^2) total, replacing the dim
+    batched HVPs of ``materialize`` (O(n^2 dim)); this is the reference's
+    ``selfadj_operator2matrix`` (``utils.py:565-573``) made closed-form for
+    structured problems (NonnegPCA: a_mat = -2 Zs + diag(y/c)).
+
+    The projector P needs no explicit handling: the basis rows b_i satisfy
+    b_i' x = 0, so b_i' P a_mat P b_j = b_i' a_mat b_j exactly.
+    """
+    n = x.shape[0]
+    dt = a_mat.dtype
+    s = jnp.where(x[n - 1] >= 0, 1.0, -1.0).astype(dt)
+    w = x.at[n - 1].add(s)
+    beta = 2.0 / (w @ w)
+    u = a_mat @ w
+    v = -beta * u + (0.5 * beta * beta * (w @ u)) * w
+    m = a_mat + jnp.outer(w, v) + jnp.outer(v, w)
+    h = m[: n - 1, : n - 1] - kappa * jnp.eye(n - 1, dtype=dt)
+    return 0.5 * (h + h.T)
+
+
+def sphere_householder_coords(x, v_amb):
+    """Coordinates of the tangent projection of ambient ``v_amb`` in the
+    ``Sphere.basis`` Householder basis, without materializing the basis:
+    B v = (H v)[:n-1] (and B P v = B v since B x = 0).  O(n)."""
+    n = x.shape[0]
+    s = jnp.where(x[n - 1] >= 0, 1.0, -1.0).astype(v_amb.dtype)
+    w = x.at[n - 1].add(s)
+    beta = 2.0 / (w @ w)
+    return (v_amb - beta * (w @ v_amb) * w)[: n - 1]
+
+
 def covector(manifold, x, basis, v):
     """Coordinates of a tangent vector v (reference ``tangent2vec``,
     ``utils.py:575-580``)."""

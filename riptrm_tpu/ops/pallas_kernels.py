@@ -38,9 +38,13 @@ def fits_in_vmem(n: int, dtype_bytes: int = 4) -> bool:
 
 
 def fits_in_vmem_batched(n: int, b: int, dtype_bytes: int = 4) -> bool:
-    """Z plus ~32 [b, n] arrays (inputs + outputs + loop carries, incl. the
-    lane-broadcast per-lane scalars) for the batched tCG kernel."""
-    return n * n * dtype_bytes + 32 * b * n * dtype_bytes <= VMEM_BUDGET_BYTES
+    """Z plus ~60 [b, n] arrays for the whole-batch tCG kernel.  Measured:
+    the Mosaic compile of B=64, n=1000 allocates 18.53 MB scoped VMEM
+    (= ~57 [b, n] rows/lane on top of Z — inputs + outputs + while carries
+    + double-buffered temporaries), so the old estimate of 32 under-gated
+    and OOMed; 60 keeps a margin and routes larger sweeps to the gridded
+    kernel."""
+    return n * n * dtype_bytes + 60 * b * n * dtype_bytes <= VMEM_BUDGET_BYTES
 
 
 def max_batched_block(n: int, dtype_bytes: int = 4) -> int:

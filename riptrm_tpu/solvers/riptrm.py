@@ -280,6 +280,32 @@ def make_step(problem, option):
         )
         return ritz[0], ritz[-1]
 
+    # Structured closed-form materialization: for sphere_quadratic problems
+    # (cost -x'Zs x, constraints -x) the barrier-KKT operator's ambient form
+    # is A = -2 Zs + diag(y/c) with curvature kappa = x'(-2 Zs x - y), so the
+    # representing matrix is one O(n^2) Householder congruence instead of dim
+    # O(n^2) HVPs (ops/basis.py::sphere_householder_congruence).  Verified
+    # against the HVP path to machine precision (tests/test_ops.py).
+    structured_sphere = (
+        problem.structure is not None
+        and problem.structure.get("kind") == "sphere_quadratic"
+    )
+
+    def _materialize_structured(x, y, mu):
+        from riptrm_tpu.ops.basis import (
+            sphere_householder_congruence,
+            sphere_householder_coords,
+        )
+
+        zs = problem.structure["Zs"].astype(y.dtype)
+        c = problem.slack(x)
+        zsx = zs @ x
+        a_mat = -2.0 * zs + jnp.diag(y / c)
+        kappa = x @ (-2.0 * zsx - y)
+        h_mat = sphere_householder_congruence(x, a_mat, kappa)
+        c_vec = sphere_householder_coords(x, -2.0 * zsx - mu / c)
+        return h_mat, c_vec
+
     def materialize_at(x, y, mu):
         """Exact-mode cache payload at (x, y, mu).
 
@@ -288,10 +314,13 @@ def make_step(problem, option):
         carries only the Lanczos extreme estimates at [0]/[-1] (same state
         shapes, so checkpoints and the compiled carries are mode-agnostic).
         """
-        basis = man.basis(x)
-        c, hw, cx = _barrier_ops(problem, x, y, mu)
-        h_mat = materialize_symmetrized(man, x, basis, hw)
-        c_vec = man.to_coords(x, basis, cx)
+        if structured_sphere:
+            h_mat, c_vec = _materialize_structured(x, y, mu)
+        else:
+            basis = man.basis(x)
+            c, hw, cx = _barrier_ops(problem, x, y, mu)
+            h_mat = materialize_symmetrized(man, x, basis, hw)
+            c_vec = man.to_coords(x, basis, cx)
         if trs_ms:
             lam_lo, lam_hi = _dense_ritz(h_mat)
             pad = jnp.zeros((dim - 2,), dtype=h_mat.dtype) if dim > 2 else (

@@ -146,14 +146,38 @@ def make_step(problem, option):
     qp_reltol = max(option["quadoptim_reltol"], tolresid)
     qp_feastol = max(option["quadoptim_feastol"], tolresid)
 
+    # Structured closed-form fast path (sphere_quadratic: NonnegPCA).  The
+    # Lagrangian Hessian's ambient form is -2 Zs with curvature
+    # kappa = x'(-2 Zs x - y), so Q is ONE O(n^2) Householder congruence
+    # instead of dim HVPs; the linearized constraint rows of g(x) = -x are
+    # G = -B^T exactly (rgrad g_i = P(-e_i), coords = -B e_i) — both replace
+    # O(n^3) batched-autodiff fan-outs (see ops/basis.py).
+    structured_sphere = (
+        problem.structure is not None
+        and problem.structure.get("kind") == "sphere_quadratic"
+        and problem.num_eq == 0
+    )
+
+    def _q_raw_structured(x, y):
+        from riptrm_tpu.ops.basis import sphere_householder_congruence
+
+        zs = problem.structure["Zs"].astype(y.dtype)
+        kappa = x @ (-2.0 * (zs @ x) - y)
+        return sphere_householder_congruence(x, -2.0 * zs, kappa)
+
     def step(state: RsqoState):
         x, y, z, rho = state.x, state.y, state.z, state.rho
         basis = man.basis(x)
 
+        def q_raw_at(x, y, z):
+            if structured_sphere:
+                return _q_raw_structured(x, y)
+            hess = problem.lag_rhess_at(x, y, z)  # primal trace frozen
+            return materialize_symmetrized(man, x, basis, hess)
+
         # --- regularized Lagrangian Hessian in coordinates ---------------
         if option["quadoptim_type"] == "reghess":
-            hess = problem.lag_rhess_at(x, y, z)  # primal trace frozen
-            q_raw = materialize_symmetrized(man, x, basis, hess)
+            q_raw = q_raw_at(x, y, z)
             w, v = jnp.linalg.eigh(q_raw)
             w = jnp.where(w < thld, corr, w)
             q_mat = (v * w) @ v.T
@@ -163,15 +187,13 @@ def make_step(problem, option):
             # a diagonal Q in the operator's eigenbasis.  Equivalent here:
             # diagonalize the materialized Hessian and rotate all
             # coordinates into the eigenbasis, keeping Q diagonal.
-            hess = problem.lag_rhess_at(x, y, z)
-            q_raw = materialize_symmetrized(man, x, basis, hess)
+            q_raw = q_raw_at(x, y, z)
             w, v = jnp.linalg.eigh(q_raw)
             w = jnp.where(w < thld, corr, w)
             q_mat = jnp.diag(w)
             coord_rot = v.T  # coords_new = V^T coords_old
         elif option["quadoptim_type"] == "reghess_shift":
-            hess = problem.lag_rhess_at(x, y, z)
-            q_raw = materialize_symmetrized(man, x, basis, hess)
+            q_raw = q_raw_at(x, y, z)
             q_mat = _shift_regularize(q_raw, thld, corr)
         elif option["quadoptim_type"] == "eye":
             q_mat = jnp.eye(dim, dtype=y.dtype)
@@ -183,7 +205,10 @@ def make_step(problem, option):
         p_vec = man.to_coords(x, basis, problem.rgrad(x))
 
         # --- linearized constraints (one vmapped vjp per family) --------
-        if m > 0:
+        if structured_sphere:
+            g_mat = -basis.T.astype(y.dtype)  # rows: coords of rgrad(-x)_i
+            h_vec = -problem.ineq(x)
+        elif m > 0:
             g_mat = constraint_grad_rows(man, x, basis, problem.ineq, m, dtype=y.dtype)
             h_vec = -problem.ineq(x)
         else:

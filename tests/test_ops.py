@@ -200,6 +200,91 @@ class TestMaterialize:
         np.testing.assert_allclose(w, wa, atol=1e-8)
 
 
+class TestStructuredMaterialize:
+    """Closed-form Householder congruence vs the batched-HVP path.
+
+    The sphere_quadratic fast path (ops/basis.py::sphere_householder_*)
+    must reproduce the generic ``materialize_symmetrized`` exactly — it is
+    the O(n^2) replacement for dim HVPs in exact-mode RIPTRM and RSQO
+    (reference ``selfadj_operator2matrix``, utils.py:565-573)."""
+
+    def _problem(self, n=23):
+        from riptrm_tpu.problems import nonneg_pca
+
+        key = jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(key)
+        data = nonneg_pca.generate_instance(k1, n)
+        x0 = np.abs(np.asarray(jax.random.normal(k2, (n,))))
+        x0 = x0 / np.linalg.norm(x0)
+        return nonneg_pca.make_problem(data["Z"], x0)
+
+    def test_barrier_congruence_matches_hvp_path(self):
+        from riptrm_tpu.ops.basis import (
+            sphere_householder_congruence,
+            sphere_householder_coords,
+        )
+        from riptrm_tpu.solvers.riptrm import _barrier_ops
+
+        p = self._problem()
+        man, x = p.manifold, p.x0
+        n = man.n
+        y = jnp.abs(jax.random.normal(jax.random.PRNGKey(5), (n,))) + 0.1
+        mu = jnp.asarray(0.3)
+        basis = man.basis(x)
+        c, hw, cx = _barrier_ops(p, x, y, mu)
+        h_ref = materialize_symmetrized(man, x, basis, hw)
+        c_ref = man.to_coords(x, basis, cx)
+
+        zs = p.structure["Zs"]
+        a = -2.0 * zs + jnp.diag(y / c)
+        kappa = x @ (-2.0 * (zs @ x) - y)
+        h_fast = sphere_householder_congruence(x, a, kappa)
+        c_fast = sphere_householder_coords(x, -2.0 * (zs @ x) - mu / c)
+        np.testing.assert_allclose(np.asarray(h_fast), np.asarray(h_ref), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(c_fast), np.asarray(c_ref), atol=1e-10)
+
+    def test_riptrm_exact_step_identical_with_and_without_structure(self):
+        import dataclasses
+
+        from riptrm_tpu.solvers import riptrm as rt
+
+        p = self._problem()
+        p_generic = dataclasses.replace(p, structure=None)
+        option = rt.merge_options(
+            rt.default_option(),
+            {"TRS_solver": "Exact_RepMat", "second_order_stationarity": True},
+        )
+        st0 = rt.init_state(p, option)
+        st_a, info_a = jax.jit(rt.make_step(p, option))(st0)
+        st_b, info_b = jax.jit(rt.make_step(p_generic, option))(st0)
+        np.testing.assert_allclose(
+            np.asarray(st_a.x), np.asarray(st_b.x), rtol=1e-10, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_a.y), np.asarray(st_b.y), rtol=1e-10, atol=1e-12
+        )
+
+    def test_rsqo_step_identical_with_and_without_structure(self):
+        import dataclasses
+
+        from riptrm_tpu.solvers import rsqo
+
+        p = self._problem()
+        p_generic = dataclasses.replace(p, structure=None)
+        option = rsqo.merge_options(
+            rsqo.default_option(), {"quadoptim_type": "reghess_shift"}
+        )
+        st0 = rsqo.init_state(p, option)
+        st_a, _ = jax.jit(rsqo.make_step(p, option))(st0)
+        st_b, _ = jax.jit(rsqo.make_step(p_generic, option))(st0)
+        np.testing.assert_allclose(
+            np.asarray(st_a.x), np.asarray(st_b.x), rtol=1e-8, atol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_a.y), np.asarray(st_b.y), rtol=1e-8, atol=1e-10
+        )
+
+
 class TestTRSMoreSorensen:
     """solve_trs_ms (Cholesky More-Sorensen) vs the eigh-based solve_trs.
 
