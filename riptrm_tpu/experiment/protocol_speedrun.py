@@ -48,6 +48,60 @@ def stack_points(cfgs):
     return problems[0], xs0, ys0, [str(c.problem_initialpoint) for c in cfgs]
 
 
+def rescue_missed_lanes(
+    problem, solver_name, option, max_steps, xs0, ys0, targets, best_h, ks_h
+):
+    """Unbatched rescue pass for lanes the vmapped sweep misses.
+
+    Lanes with ``best > target`` are re-run as UNBATCHED compiled solves
+    (``parallel.sweep.protocol_single``): vmapped lanes see different f64
+    reduction orderings, and at chaotic accept/reject plateaus that
+    legitimately tips a trajectory away from the host's (CLAUDE.md
+    invariants) — the scalar program reproduces the host protocol.  Mutates
+    ``best_h``/``ks_h`` in place (keeps each lane's better result) and
+    returns (rescued_flags, run_s, compile_s): rescue wall-clock counts
+    toward the speedrun's run time, its AOT compile is reported apart.
+    """
+    import jax
+    import numpy as np
+
+    from riptrm_tpu.parallel.sweep import protocol_single
+
+    rescued = [False] * len(targets)
+    missed = [
+        i
+        for i, (b, t) in enumerate(zip(best_h, targets))
+        if not (b <= t) and np.isfinite(t) and t > 0.0
+    ]
+    if not missed:
+        return rescued, 0.0, 0.0
+    single = protocol_single(problem, solver_name, option, max_steps)
+    lane = lambda tree, i: jax.tree.map(lambda a: a[i], tree)
+    t0 = time.time()
+    lowered = single.lower(
+        lane(xs0, 0), ys0[0], jnp_scalar(targets[0], ys0.dtype)
+    ).compile()
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for i in missed:
+        _, _, k1, b1 = lowered(
+            lane(xs0, i), ys0[i], jnp_scalar(targets[i], ys0.dtype)
+        )
+        b1 = float(np.asarray(b1))
+        if b1 < best_h[i]:
+            best_h[i] = b1
+            ks_h[i] = int(np.asarray(k1))
+        rescued[i] = True
+    run_s = time.time() - t0
+    return rescued, run_s, compile_s
+
+
+def jnp_scalar(v, dtype):
+    import jax.numpy as jnp
+
+    return jnp.asarray(v, dtype=dtype)
+
+
 def _next_arg(it, flag):
     try:
         return next(it)
@@ -66,6 +120,8 @@ def main(argv=None):
     slack = 1.0
     max_steps = 50_000
     force_cpu = True
+    solver_filter = None
+    option_overrides = {}
     it = iter(argv)
     for a in it:
         if a == "--problems":
@@ -80,6 +136,20 @@ def main(argv=None):
             max_steps = int(_next_arg(it, a))
         elif a == "--no-force-cpu":
             force_cpu = False
+        elif a == "--solvers":
+            solver_filter = set(_next_arg(it, a).split(","))
+        elif a == "--option":
+            # key=value applied to every solver option dict (A/B studies,
+            # e.g. --solvers RALM --option tolgradnorm_decay_fix=true)
+            k, _, v = _next_arg(it, a).partition("=")
+            lv = v.lower()
+            if lv in ("true", "false"):
+                option_overrides[k] = lv == "true"
+            else:
+                try:
+                    option_overrides[k] = int(v)
+                except ValueError:
+                    option_overrides[k] = float(v)
         else:
             raise SystemExit(f"unknown arg {a}")
 
@@ -115,9 +185,12 @@ def main(argv=None):
             problem, xs0, ys0, points = stack_points(cfgs)
             cfg0 = cfgs[0]
             for solver_name in cfg0.solver_name:
+                if solver_filter and solver_name not in solver_filter:
+                    continue
                 option = solver_options_from_cfg(cfg0, solver_name)
                 option.pop("maxtime", None)  # compiled: no wall clock
                 option["checkNTequation"] = False
+                option.update(option_overrides)
                 decorated = SOLVERS[solver_name](option).name
                 targets, missing = [], []
                 for pt in points:
@@ -152,44 +225,13 @@ def main(argv=None):
                 ks_h = np.array(ks)
                 run_s = time.time() - t0
 
-                # ---- unbatched rescue pass -------------------------------
-                # Lanes that miss under the vmapped sweep are re-run as
-                # UNBATCHED compiled solves (protocol_single): vmapped lanes
-                # see different f64 reduction orderings, and at chaotic
-                # accept/reject plateaus that legitimately tips a trajectory
-                # away from the host's (CLAUDE.md invariants) — the scalar
-                # program reproduces the host protocol.  Rescue wall-clock
-                # counts toward run_s (the speedrun claim stays honest);
-                # its compile, like the sweep's, is AOT and reported apart.
-                rescued = [False] * len(points)
-                missed = [
-                    i
-                    for i, (b, t) in enumerate(zip(best_h, targets))
-                    if not (b <= t) and np.isfinite(t) and t > 0.0
-                ]
-                if missed:
-                    from riptrm_tpu.parallel.sweep import protocol_single
-
-                    single = protocol_single(
-                        problem, solver_name, option, max_steps
-                    )
-                    lane = lambda tree, i: jax.tree.map(lambda a: a[i], tree)
-                    t0 = time.time()
-                    lowered = single.lower(
-                        lane(xs0, 0), ys0[0], targets_a[0]
-                    ).compile()
-                    compile_s += time.time() - t0
-                    t0 = time.time()
-                    for i in missed:
-                        _, _, k1, b1 = lowered(
-                            lane(xs0, i), ys0[i], targets_a[i]
-                        )
-                        b1 = float(np.asarray(b1))
-                        if b1 < best_h[i]:
-                            best_h[i] = b1
-                            ks_h[i] = int(np.asarray(k1))
-                        rescued[i] = True
-                    run_s += time.time() - t0
+                # ---- unbatched rescue pass (see rescue_missed_lanes) -----
+                rescued, rescue_run_s, rescue_compile_s = rescue_missed_lanes(
+                    problem, solver_name, option, max_steps,
+                    xs0, ys0, targets, best_h, ks_h,
+                )
+                run_s += rescue_run_s
+                compile_s += rescue_compile_s
 
                 group = {
                     "points": points,

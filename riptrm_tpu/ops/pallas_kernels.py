@@ -53,10 +53,11 @@ def max_batched_block(n: int, dtype_bytes: int = 4) -> int:
     Per grid step the kernel holds Z (whole-array, constant block index so
     the pipeline re-uses one window) plus double-buffered [bb, n] I/O blocks
     (7 inputs + 2 outputs), ~13 [bb, n] while-loop carries and Mosaic
-    temporaries.  Measured on a v5e at n=1000: actual scoped-VMEM usage is
-    ~38 [1, n]-f32 rows per lane on top of Z, so budget 40."""
+    temporaries.  Measured on a v5e at n=1000, bb=64: actual scoped-VMEM
+    usage is 16.50M = ~49 [1, n]-f32 rows per lane on top of Z (the old
+    40-row budget OOMed by 512K), so budget 52."""
     avail = VMEM_BUDGET_BYTES - n * n * dtype_bytes
-    per_lane = 40 * n * dtype_bytes
+    per_lane = 52 * n * dtype_bytes
     if avail <= 0:
         return 0
     return (avail // per_lane) // 8 * 8

@@ -370,6 +370,44 @@ def test_batched_protocol_sweep_time_to_target(setup):
     assert np.all(np.asarray(best_loose) <= 1e-2)
 
 
+def test_speedrun_rescue_pass(setup):
+    """The protocol-speedrun rescue branch (experiment/protocol_speedrun.py
+    ::rescue_missed_lanes): lanes whose batched best misses the target are
+    re-run unbatched; lanes at target are left alone.  Forced miss: one
+    lane's target is set below anything reachable, one in easy reach."""
+    from riptrm_tpu.experiment.protocol_speedrun import rescue_missed_lanes
+    from riptrm_tpu.parallel.sweep import batched_protocol_sweep
+
+    problem, xs, ys = setup
+    option = dict(OPTION, maxiter=40)
+    fn = batched_protocol_sweep(problem, "RIPTRM", option, max_steps=60)
+    # lane 0: unreachable target (forces the rescue re-run); rest: loose
+    targets = [0.0] + [1e-1] * (BATCH - 1)
+    targets[0] = 1e-30
+    x_f, y_f, ks, best = fn(xs, ys, jnp.asarray(targets))
+    best_h = np.array(best)
+    ks_h = np.array(ks)
+    pre_best = best_h.copy()
+    assert not (best_h[0] <= targets[0])  # the miss the rescue must see
+    assert np.all(best_h[1:] <= 1e-1)
+
+    rescued, run_s, compile_s = rescue_missed_lanes(
+        problem, "RIPTRM", option, 60, xs, ys, targets, best_h, ks_h
+    )
+    assert rescued == [True] + [False] * (BATCH - 1)
+    assert run_s >= 0.0 and compile_s > 0.0
+    # rescue keeps each lane's better result, never regresses
+    assert best_h[0] <= pre_best[0]
+    np.testing.assert_array_equal(best_h[1:], pre_best[1:])
+
+    # no misses -> no-op, no compile paid
+    rescued2, run2, comp2 = rescue_missed_lanes(
+        problem, "RIPTRM", option, 60, xs, ys,
+        [1e-1] * BATCH, np.array(pre_best), np.array(ks),
+    )
+    assert rescued2 == [False] * BATCH and run2 == 0.0 and comp2 == 0.0
+
+
 @pytest.mark.parametrize("solver_name", ["RIPM", "RSQO", "RALM"])
 def test_batched_protocol_sweep_baselines(setup, solver_name):
     from riptrm_tpu.parallel.sweep import batched_protocol_sweep
