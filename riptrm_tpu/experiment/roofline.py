@@ -72,7 +72,10 @@ def sphere_case(jax, jnp, n, b, maxinner):
     z = (z + z.T) * (1e-3 / (2 * np.sqrt(n)))
     xs = jnp.abs(jax.random.normal(ks[1], (b, n), jnp.float32)) + 0.1
     xs = xs / jnp.linalg.norm(xs, axis=1, keepdims=True)
-    ws = 1.0 + 99.0 * jax.random.uniform(ks[2], (b, n), dtype=jnp.float32)
+    # condition number ~1e4: CG's per-iteration model decrease stays well
+    # above f32 noise for > maxinner iterations (a kappa=100 spread stalled
+    # the model_inc exit at ~8 iterations)
+    ws = 10.0 ** (4.0 * jax.random.uniform(ks[2], (b, n), dtype=jnp.float32))
     grads = jax.random.normal(ks[3], (b, n), jnp.float32) * 0.1
     grads = grads - jnp.sum(grads * xs, axis=1, keepdims=True) * xs
     radii = jnp.full((b,), 1e18, jnp.float32)
@@ -125,7 +128,10 @@ def stiefel_case(jax, jnp, n, b, p, maxinner):
     xs = 0.7 * q  # strictly inside |x| <= 0.8
     bound = 0.8
     m = n * p
-    ys = jnp.abs(jax.random.normal(ks[2], (b, 2 * m), jnp.float32)) * 0.1 + 0.05
+    # wide multiplier spread -> wide barrier-weight spectrum (see sphere
+    # case: keeps the CG chain long before the model_inc exit)
+    ys = 10.0 ** (4.0 * jax.random.uniform(ks[2], (b, 2 * m))) * 1e-2
+    ys = ys.astype(jnp.float32)
     cs = jnp.concatenate(
         [(bound - xs).reshape(b, m), (bound + xs).reshape(b, m)], axis=1
     )

@@ -27,10 +27,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM is ~16 MB/core; the whole-Z-resident kernels need Z plus a few
-# n-vectors to fit.  Beyond this, callers should use the XLA path (or a
-# future grid-blocked kernel).
+# The compiler's DEFAULT scoped-VMEM limit is 16 MB; the whole-Z-resident
+# single-lane kernels need Z plus a few n-vectors to fit under it.
 VMEM_BUDGET_BYTES = 14 * 1024 * 1024
+
+# The BATCHED kernels raise the Mosaic scoped-VMEM limit explicitly
+# (CompilerParams(vmem_limit_bytes=...)): measured on the v5e, B=128
+# n=1000 whole-batch (scoped need ~33 MB) compiles and runs correctly at
+# a 100 MB limit, where the 16 MB default OOMs at B=64.  Budget 56 MB for
+# gating (margin under the 64 MB limit we request).
+BATCHED_VMEM_LIMIT_BYTES = 64 * 1024 * 1024
+BATCHED_VMEM_BUDGET_BYTES = 56 * 1024 * 1024
+
+_BATCHED_COMPILER_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=BATCHED_VMEM_LIMIT_BYTES
+)
 
 
 def fits_in_vmem(n: int, dtype_bytes: int = 4) -> bool:
@@ -38,13 +49,17 @@ def fits_in_vmem(n: int, dtype_bytes: int = 4) -> bool:
 
 
 def fits_in_vmem_batched(n: int, b: int, dtype_bytes: int = 4) -> bool:
-    """Z plus ~60 [b, n] arrays for the whole-batch tCG kernel.  Measured:
-    the Mosaic compile of B=64, n=1000 allocates 18.53 MB scoped VMEM
-    (= ~57 [b, n] rows/lane on top of Z — inputs + outputs + while carries
-    + double-buffered temporaries), so the old estimate of 32 under-gated
-    and OOMed; 60 keeps a margin and routes larger sweeps to the gridded
-    kernel."""
-    return n * n * dtype_bytes + 60 * b * n * dtype_bytes <= VMEM_BUDGET_BYTES
+    """Z plus ~60 [b, n] arrays for the whole-batch tCG kernel, against the
+    RAISED batched budget.  Measured: the Mosaic compile of B=64, n=1000
+    allocates 18.53 MB scoped VMEM (= ~57 [b, n] rows/lane on top of Z —
+    inputs + outputs + while carries + double-buffered temporaries); the
+    old estimate of 32 rows against the 14 MB default under-gated and
+    OOMed.  With vmem_limit_bytes raised to 64 MB, whole-batch holds up to
+    B~200 at n=1000 (B=128 verified on-chip)."""
+    return (
+        n * n * dtype_bytes + 60 * b * n * dtype_bytes
+        <= BATCHED_VMEM_BUDGET_BYTES
+    )
 
 
 def max_batched_block(n: int, dtype_bytes: int = 4) -> int:
@@ -53,11 +68,12 @@ def max_batched_block(n: int, dtype_bytes: int = 4) -> int:
     Per grid step the kernel holds Z (whole-array, constant block index so
     the pipeline re-uses one window) plus double-buffered [bb, n] I/O blocks
     (7 inputs + 2 outputs), ~13 [bb, n] while-loop carries and Mosaic
-    temporaries.  Measured on a v5e at n=1000, bb=64: actual scoped-VMEM
-    usage is 16.50M = ~49 [1, n]-f32 rows per lane on top of Z (the old
-    40-row budget OOMed by 512K), so budget 52."""
-    avail = VMEM_BUDGET_BYTES - n * n * dtype_bytes
-    per_lane = 52 * n * dtype_bytes
+    temporaries.  Measured on a v5e at n=1000: whole-batch is ~57 rows per
+    lane and gridded adds block double-buffering, so budget 68 rows against
+    the raised 56 MB batched budget (the gridded pallas_call requests a
+    64 MB scoped limit)."""
+    avail = BATCHED_VMEM_BUDGET_BYTES - n * n * dtype_bytes
+    per_lane = 68 * n * dtype_bytes
     if avail <= 0:
         return 0
     return (avail // per_lane) // 8 * 8
@@ -447,6 +463,7 @@ def pallas_tcg_sphere_quadratic_batched(
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ),
+            compiler_params=_BATCHED_COMPILER_PARAMS,
         )(*args)
         return etas, hetas, stats[:, 0], stats[:, 1]
 
@@ -477,6 +494,7 @@ def pallas_tcg_sphere_quadratic_batched(
         + [pl.BlockSpec((n, n), lambda i: (0, 0))]
         + [blk] * 3,
         out_specs=(blk, blk, pl.BlockSpec((bb, 2), lambda i: (i, 0))),
+        compiler_params=_BATCHED_COMPILER_PARAMS,
     )(*[a if i == 4 else pad_lane(a) for i, a in enumerate(args)])
     return etas[:b], hetas[:b], stats[:b, 0], stats[:b, 1]
 
@@ -702,11 +720,14 @@ def chained_barrier_matvec(zs, x, y_over_c, v0, n_iters: int):
 
 
 def fits_in_vmem_stiefel(n: int, b: int, p: int, dtype_bytes: int = 4) -> bool:
-    """Zs + ~24 [n, B*p] arrays + 2 [Bp, Bp] block matrices."""
+    """Zs + ~40 [n, B*p] arrays + 2 [Bp, Bp] block matrices, against the
+    raised batched budget (the batched call requests a 64 MB scoped
+    limit; 40 rows/lane mirrors the measured sphere-kernel overhead with
+    margin for the extra [Bp, Bp] contractions)."""
     bp = b * p
     return (
-        n * n * dtype_bytes + 24 * n * bp * dtype_bytes + 2 * bp * bp * dtype_bytes
-        <= VMEM_BUDGET_BYTES
+        n * n * dtype_bytes + 40 * n * bp * dtype_bytes + 2 * bp * bp * dtype_bytes
+        <= BATCHED_VMEM_BUDGET_BYTES
     )
 
 
@@ -898,6 +919,7 @@ def pallas_tcg_stiefel_bound_batched(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
+        compiler_params=_BATCHED_COMPILER_PARAMS,
     )(
         lane_row(jnp.broadcast_to(radii, (b,))),
         lane_row(target),

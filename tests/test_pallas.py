@@ -155,10 +155,11 @@ def test_batched_tcg_gridded_interpret(setup, monkeypatch):
         ref = pk.pallas_tcg_sphere_quadratic_batched(
             zs, xs, ws, grads, radii, maxinner=dim
         )
-    # Shrink the budget so fits_in_vmem_batched(n, 12) fails but an 8-lane
-    # block still fits -> the wrapper must take the gridded path.
-    budget = n * n * 4 + 40 * 8 * n * 4 + 1
-    monkeypatch.setattr(pk, "VMEM_BUDGET_BYTES", budget)
+    # Shrink the batched budget so fits_in_vmem_batched(n, 12) fails but an
+    # 8-lane block still fits -> the wrapper must take the gridded path.
+    # (68 = max_batched_block's per-lane row budget.)
+    budget = n * n * 4 + 68 * 8 * n * 4 + 1
+    monkeypatch.setattr(pk, "BATCHED_VMEM_BUDGET_BYTES", budget)
     assert not pk.fits_in_vmem_batched(n, B)
     assert pk.max_batched_block(n) == 8
     with _interp():
