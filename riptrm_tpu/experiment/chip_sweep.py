@@ -293,8 +293,25 @@ def main(argv=None):
                              "inner loop cannot satisfy the complementarity "
                              "criterion at 'high'-class matvec noise — "
                              "'high' for everything else)")
+    parser.add_argument("--certify", action="store_true",
+                        help="post-hoc batched second-order certificates at "
+                             "the sweep's final points (one vmapped "
+                             "matrix-free Lanczos, parallel/sweep.py::"
+                             "certify_second_order) — valid for problems "
+                             "with AFFINE constraints (NonnegPCA, "
+                             "BoundedPCA, Rosenbrock), where Hess g = 0 "
+                             "makes the ratio-capped certificate "
+                             "conservative; RIPTRM only")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
+    if args.certify and (
+        args.solver != "RIPTRM" or args.problem == "StableIdentification"
+    ):
+        parser.error(
+            "--certify needs RIPTRM final states and affine constraints "
+            "(StableIdentification's annulus terminal duals make any "
+            "terminal curvature bound vacuous — see protocol_speedrun)"
+        )
     if args.precision is None:
         args.precision = "highest" if args.problem == "BoundedPCA" else "high"
     if args.exact and args.pallas:
@@ -345,24 +362,37 @@ def main(argv=None):
     per_sweep, res, compile_s, _ = measure_sweep(
         problem, xs0, ys0, option, max_steps=args.max_steps, solver=args.solver
     )
-    print(
-        json.dumps(
-            {
-                "problem": args.problem,
-                "size": args.size,
-                "batch": args.batch,
-                "solver": args.solver,
-                "mode": "exact" if args.exact else "tCG",
-                "solves_per_sec": round(args.batch / per_sweep, 2),
-                "sweep_ms": round(per_sweep * 1e3, 3),
-                "median_residual": float(np.median(res)),
-                "max_residual": float(np.max(res)),
-                "gen_s": round(gen_s, 1),
-                "compile_s": round(compile_s, 1),
-                "device": str(jax.devices()[0]),
-            }
+    out = {
+        "problem": args.problem,
+        "size": args.size,
+        "batch": args.batch,
+        "solver": args.solver,
+        "mode": "exact" if args.exact else "tCG",
+        "solves_per_sec": round(args.batch / per_sweep, 2),
+        "sweep_ms": round(per_sweep * 1e3, 3),
+        "median_residual": float(np.median(res)),
+        "max_residual": float(np.max(res)),
+        "gen_s": round(gen_s, 1),
+        "compile_s": round(compile_s, 1),
+        "device": str(jax.devices()[0]),
+    }
+    if args.certify:
+        from riptrm_tpu.parallel.sweep import (
+            batched_riptrm_solve,
+            certify_second_order,
         )
-    )
+
+        bsolve = batched_riptrm_solve(problem, option, max_steps=args.max_steps)
+        states, _, _ = jax.block_until_ready(bsolve(xs0, ys0))
+        t0 = time.time()
+        mineigs = np.asarray(
+            certify_second_order(problem, states.x, states.y, ratio_cap=1e8)
+        )  # np.asarray = the forced host fetch (tunnel timing rules)
+        out["certify_s"] = round(time.time() - t0, 3)
+        out["certified_mineig_min"] = float(np.nanmin(mineigs))
+        out["certified_mineig_median"] = float(np.nanmedian(mineigs))
+        out["certified_lanes"] = int(np.isfinite(mineigs).sum())
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

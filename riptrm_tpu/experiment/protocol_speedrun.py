@@ -190,6 +190,17 @@ def main(argv=None):
                 option = solver_options_from_cfg(cfg0, solver_name)
                 option.pop("maxtime", None)  # compiled: no wall clock
                 option["checkNTequation"] = False
+                if solver_name == "RSQO":
+                    # Deep-parity QP settings (measured A/B on StableId
+                    # instance 1, 1e-15-class targets): the condensed-
+                    # Cholesky warm-started QP — the right default for f32
+                    # chip sweeps — perturbs each QP solution within its
+                    # tolerance, and over 10^4 SQP steps that plateaus
+                    # lanes at 1e-2..1e-13 where LU + cold start drives
+                    # them to the 3.3e-15 reference floor (incl. the
+                    # point-a lane every earlier round missed).
+                    option["quadoptim_linear_solver"] = "lu"
+                    option["quadoptim_warm_start"] = False
                 option.update(option_overrides)
                 decorated = SOLVERS[solver_name](option).name
                 targets, missing = [], []

@@ -38,9 +38,26 @@ PEAK_BF16 = 197e12  # TPU v5e single-chip MXU peak, FLOP/s
 PEAK_BF16X3 = PEAK_BF16 / 3.0  # effective f32 ('high' scheme) peak
 
 
-def _measure_chain(make_chain, lens=(2, 10), tries=7):
+def _measure_chain(make_chain, lens=(50, 1050), tries=5):
+    """Marginal kernel-iteration rate between two chain lengths.
+
+    Each chain returns the per-call iteration counts [k_calls, B]; the
+    FLOP-relevant count is sum over calls of max-over-lanes (frozen lanes
+    still compute in lockstep).  Counting ACTUAL iterations matters: the
+    data-coupled chain hands each call a different gradient, so later calls
+    may exit earlier than the probe call — a fixed per-call FLOP model
+    overestimates.  Chain lengths are chosen so the marginal time (~50 ms
+    at these calls' ~50 us) clearly exceeds the ~ms host-fetch jitter
+    (CLAUDE.md tunnel timing rules); the earlier (2, 10) lens measured
+    noise and reported >100%-of-peak nonsense.
+
+    Returns (iters_per_s, calls_per_s, mean_trips_per_call).
+    """
     f_s, f_l = make_chain(lens[0]), make_chain(lens[1])
-    np.asarray(f_s()), np.asarray(f_l())  # compile + warm
+    it_s = np.asarray(f_s())  # compile + warm, [k, B]
+    it_l = np.asarray(f_l())
+    trips_s = int(it_s.max(axis=1).sum())
+    trips_l = int(it_l.max(axis=1).sum())
 
     def timed(f):
         ts = []
@@ -51,7 +68,8 @@ def _measure_chain(make_chain, lens=(2, 10), tries=7):
         return min(ts)
 
     dt = max(timed(f_l) - timed(f_s), 1e-4)
-    return (lens[1] - lens[0]) / dt  # kernel calls per second
+    d_calls = lens[1] - lens[0]
+    return (trips_l - trips_s) / dt, d_calls / dt, (trips_l - trips_s) / d_calls
 
 
 def sphere_case(jax, jnp, n, b, maxinner):
@@ -98,16 +116,16 @@ def sphere_case(jax, jnp, n, b, maxinner):
                 return g2, iters
 
             gf, it = jax.lax.scan(body, grads, None, length=k_calls)
-            return it[-1]
+            return it  # [k_calls, B] actual per-call iteration counts
 
         f = jax.jit(run)
         return lambda: f()
 
-    iters = np.asarray(call(grads)[1])
-    trips = int(iters.max())
-    calls_per_s = _measure_chain(make_chain)
-    flops_per_call = trips * (6.0 * b * n * n + 40.0 * b * n)
-    return trips, calls_per_s, flops_per_call
+    iters_per_s, calls_per_s, trips = _measure_chain(make_chain)
+    # per-iteration FLOPs: hardware MXU passes (bf16x3 = 3 passes of the
+    # logical [B, n] x [n, n] matmul) + VPU elementwise
+    hw_flops_per_iter = 6.0 * b * n * n + 40.0 * b * n
+    return trips, calls_per_s, iters_per_s, hw_flops_per_iter
 
 
 def stiefel_case(jax, jnp, n, b, p, maxinner):
@@ -129,9 +147,12 @@ def stiefel_case(jax, jnp, n, b, p, maxinner):
     bound = 0.8
     m = n * p
     # wide multiplier spread -> wide barrier-weight spectrum (see sphere
-    # case: keeps the CG chain long before the model_inc exit)
-    ys = 10.0 ** (4.0 * jax.random.uniform(ks[2], (b, 2 * m))) * 1e-2
-    ys = ys.astype(jnp.float32)
+    # case: keeps the CG chain long before the model_inc exit).  The two
+    # bound-side multipliers are set EQUAL: the Lagrangian curvature block
+    # sym(X'E) carries y1 - y2, so unequal huge multipliers make hw
+    # indefinite and the chain exits on negative curvature at iteration ~3.
+    y_half = 10.0 ** (4.0 * jax.random.uniform(ks[2], (b, m))) * 1e-2
+    ys = jnp.concatenate([y_half, y_half], axis=1).astype(jnp.float32)
     cs = jnp.concatenate(
         [(bound - xs).reshape(b, m), (bound + xs).reshape(b, m)], axis=1
     )
@@ -156,21 +177,18 @@ def stiefel_case(jax, jnp, n, b, p, maxinner):
                 return grads + eta * 1e-6, iters
 
             gf, it = jax.lax.scan(body, grads, None, length=k_calls)
-            return it[-1]
+            return it  # [k_calls, B]
 
         f = jax.jit(run)
         return lambda: f()
 
-    iters = np.asarray(call(grads)[1])
-    trips = int(iters.max())
-    calls_per_s = _measure_chain(make_chain)
+    iters_per_s, calls_per_s, trips = _measure_chain(make_chain)
     bp = b * p
     # conservative model: the bf16x3 matvec only (the HIGHEST-precision
     # [Bp, Bp] lane contractions are counted as overhead, so %peak is a
     # lower bound)
-    flops_per_iter = 6.0 * bp * n * n
-    flops_per_call = trips * flops_per_iter
-    return trips, calls_per_s, flops_per_call
+    hw_flops_per_iter = 6.0 * bp * n * n
+    return trips, calls_per_s, iters_per_s, hw_flops_per_iter
 
 
 def main(argv=None):
@@ -188,38 +206,52 @@ def main(argv=None):
     jax = setup(x64=False)
     import jax.numpy as jnp
 
+    def make_row(kernel, n, lanes, trips, calls_s, iters_s, hw_flops_iter,
+                 **extra):
+        # achieved = HARDWARE MXU FLOPs (bf16 passes) from ACTUAL iteration
+        # counts; pct_bf16x3_peak (logical f32-equivalent FLOPs = hw/3
+        # against the 3-pass effective peak) equals pct_bf16_peak by
+        # construction, so only the hardware ratio is reported, plus the
+        # row-fill-adjusted utilization (a [lanes, n] operand fills only
+        # min(lanes, 128) of the MXU's 128 systolic rows).
+        achieved = iters_s * hw_flops_iter
+        fill = min(lanes, 128) / 128
+        pct = 100 * achieved / PEAK_BF16
+        row = {
+            "kernel": kernel, "n": n,
+            "mean_tcg_iters_per_call": round(trips, 1),
+            "kernel_calls_per_s": round(calls_s, 1),
+            "tcg_iters_per_s": round(iters_s, 1),
+            "achieved_hw_tflops": round(achieved / 1e12, 2),
+            "effective_f32_tflops": round(achieved / 3e12, 2),
+            "pct_bf16_peak": round(pct, 2),
+            "mxu_row_fill_cap_pct": round(100 * fill, 1),
+            "pct_of_rowfill_adjusted_peak": round(pct / fill, 1),
+        }
+        row.update(extra)
+        return row
+
     rows = []
     for n in args.sizes:
         for b in args.batches:
-            trips, calls_s, flops = sphere_case(jax, jnp, n, b, args.maxinner)
-            achieved = calls_s * flops
-            rows.append({
-                "kernel": "tcg_sphere_batched", "n": n, "B": b,
-                "tcg_iters": trips,
-                "kernel_calls_per_s": round(calls_s, 1),
-                "achieved_tflops": round(achieved / 1e12, 2),
-                "pct_bf16_peak": round(100 * achieved / PEAK_BF16, 2),
-                "pct_bf16x3_peak": round(100 * achieved / PEAK_BF16X3, 2),
-                "mxu_row_fill_cap_pct": round(100 * min(b, 128) / 128, 1),
-            })
+            trips, calls_s, iters_s, hw_fpi = sphere_case(
+                jax, jnp, n, b, args.maxinner
+            )
+            rows.append(make_row(
+                "tcg_sphere_batched", n, b, trips, calls_s, iters_s, hw_fpi,
+                B=b,
+            ))
             print(json.dumps(rows[-1]), flush=True)
 
     for b in args.batches:
         bp = b * args.stiefel_p
-        trips, calls_s, flops = stiefel_case(
+        trips, calls_s, iters_s, hw_fpi = stiefel_case(
             jax, jnp, args.stiefel_n, b, args.stiefel_p, args.maxinner
         )
-        achieved = calls_s * flops
-        rows.append({
-            "kernel": "tcg_stiefel_batched", "n": args.stiefel_n, "B": b,
-            "p": args.stiefel_p, "lanes_Bp": bp,
-            "tcg_iters": trips,
-            "kernel_calls_per_s": round(calls_s, 1),
-            "achieved_tflops": round(achieved / 1e12, 2),
-            "pct_bf16_peak": round(100 * achieved / PEAK_BF16, 2),
-            "pct_bf16x3_peak": round(100 * achieved / PEAK_BF16X3, 2),
-            "mxu_row_fill_cap_pct": round(100 * min(bp, 128) / 128, 1),
-        })
+        rows.append(make_row(
+            "tcg_stiefel_batched", args.stiefel_n, bp, trips, calls_s,
+            iters_s, hw_fpi, B=b, p=args.stiefel_p, lanes_Bp=bp,
+        ))
         print(json.dumps(rows[-1]), flush=True)
     if args.out:
         import jax as _jax

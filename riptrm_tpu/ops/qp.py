@@ -50,13 +50,25 @@ class QpResult(NamedTuple):
 
 
 def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
-             feastol=1e-10, maxiter=50, warm_z=None):
+             feastol=1e-10, maxiter=50, warm_z=None, method="chol"):
     """Solve the QP; all shapes static.  ``A``/``b`` may be (0, n)/(0,).
 
     Q must be symmetric POSITIVE DEFINITE (the Newton systems are solved by
     Cholesky; an indefinite Q yields NaNs, not an error) and A full row
     rank.  ``warm_z`` (optional, shape (m,)) warm-starts the inequality
     multipliers, e.g. from the previous QP of an SQP sequence.
+
+    ``method``: 'chol' (default) factors the condensed SPD Newton matrix
+    M = Q + G' diag(z/s) G once per IPM iteration, shared by predictor and
+    corrector — the fast batched path.  'lu' solves the same condensed
+    system by partial-pivot LU (saddle block when A is nonempty): near the
+    central path's end diag(z/s) spans ~16 decades and the Cholesky of the
+    numerically-indefinite-by-rounding M loses the last digits, which at
+    1e-15-deep SQP targets is enough to stall the outer iteration (measured
+    on StableIdentification: the Cholesky path plateaus lanes at 1e-2/1e-13
+    that the LU path drives to the 3.3e-15 reference floor).  Deep-parity
+    f64 runs should use 'lu'; chip-sweep f32 runs never resolve those
+    digits and keep the ~40%-faster 'chol'.
     """
     dtype = Q.dtype
     n = Q.shape[0]
@@ -87,16 +99,26 @@ def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
         re = A @ x - b
         return rd, rp, re
 
+    use_lu = method == "lu"
+
     def kkt_factor(s, z):
         """Factor the condensed Newton system once per IPM iteration.
 
-        M = Q + G^T diag(z/s) G is SPD (Q PD, the barrier term PSD); with
-        equality constraints, dy is eliminated through the SPD Schur
-        complement S = A M^{-1} A^T.  The factorization is shared by the
-        predictor and the corrector solve.
+        chol: M = Q + G^T diag(z/s) G is SPD (Q PD, the barrier term PSD);
+        with equality constraints, dy is eliminated through the SPD Schur
+        complement S = A M^{-1} A^T.  lu: partial-pivot LU of M (or of the
+        [M, A'; A, 0] saddle block) — last-digit robust at extreme barrier
+        conditioning (see solve_qp docstring).  Either factorization is
+        shared by the predictor and the corrector solve.
         """
         w = z / s
         M = Q + (G.T * w) @ G
+        if use_lu:
+            if l > 0:
+                K = jnp.block([[M, A.T], [A, jnp.zeros((l, l), dtype=dtype)]])
+            else:
+                K = M
+            return (jax.scipy.linalg.lu_factor(K), None, None)
         cf = cho_factor(M)
         if l > 0:
             minv_at = cho_solve(cf, A.T)  # n x l
@@ -115,7 +137,16 @@ def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
         """
         cf, minv_at, cs = fact
         rhs_x = -rd - G.T @ ((z * rp - rc) / s)
-        if l > 0:
+        if use_lu:
+            if l > 0:
+                sol = jax.scipy.linalg.lu_solve(
+                    cf, jnp.concatenate([rhs_x, -re])
+                )
+                dx, dy = sol[:n], sol[n:]
+            else:
+                dx = jax.scipy.linalg.lu_solve(cf, rhs_x)
+                dy = jnp.zeros((0,), dtype=dtype)
+        elif l > 0:
             minv_rhs = cho_solve(cf, rhs_x)
             dy = cho_solve(cs, A @ minv_rhs + re)
             dx = minv_rhs - minv_at @ dy

@@ -48,6 +48,18 @@ def default_option():
         "quadoptim_abstol": 1e-12,
         "quadoptim_reltol": 1e-12,
         "quadoptim_feastol": 1e-12,
+        # Warm-start each QP's dual from the SQP iterate's multipliers
+        # (2.1x batched throughput, BENCH.md).  False = reference-parity
+        # cold start (CVXOPT cold-starts every QP, RSQO.py:196-208): the
+        # warm start perturbs the approximate QP solution within its
+        # tolerance, which over 10^4 SQP steps at 1e-15-deep residual
+        # targets shifts which stationary point a StableIdentification
+        # trajectory lands on (measured: 14/20 protocol targets cold vs
+        # 0/20 warm) — deep-parity runs must cold-start.
+        "quadoptim_warm_start": True,
+        # 'chol' (fast condensed Cholesky) or 'lu' (last-digit robust at
+        # extreme barrier conditioning) — see ops/qp.py::solve_qp.
+        "quadoptim_linear_solver": "chol",
         "rho": 1.0,
         "tau": 0.5,
         "beta": 0.9,
@@ -235,7 +247,8 @@ def make_step(problem, option):
             q_mat, p_vec, g_mat, h_vec, a_mat, b_vec,
             abstol=qp_abstol, reltol=qp_reltol, feastol=qp_feastol,
             maxiter=option["quadoptim_maxiter"],
-            warm_z=y if m > 0 else None,
+            warm_z=y if (m > 0 and option["quadoptim_warm_start"]) else None,
+            method=option["quadoptim_linear_solver"],
         )
         coeff = sol.x
         y_new = sol.z

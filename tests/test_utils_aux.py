@@ -61,6 +61,30 @@ class TestQPEdgeCases:
         assert int(sol.status) == 0
         assert np.all(np.asarray(G @ sol.x - h) < 1e-7)
 
+    @pytest.mark.parametrize("with_eq", [False, True])
+    def test_lu_matches_chol(self, with_eq):
+        """method='lu' (deep-parity path) and 'chol' (fast path) must agree
+        to solver tolerance on a well-conditioned QP, with and without
+        equality rows."""
+        n = 7
+        rng = np.random.default_rng(3)
+        L = rng.normal(size=(n, n))
+        Q = jnp.asarray(L @ L.T + np.eye(n))
+        p = jnp.asarray(rng.normal(size=n))
+        G = jnp.asarray(rng.normal(size=(5, n)))
+        h = jnp.asarray(np.abs(rng.normal(size=5)) + 0.5)
+        A = jnp.asarray(rng.normal(size=(2, n))) if with_eq else None
+        b = jnp.asarray(rng.normal(size=2)) if with_eq else None
+        s_c = solve_qp(Q, p, G, h, A, b, method="chol")
+        s_l = solve_qp(Q, p, G, h, A, b, method="lu")
+        assert int(s_c.status) == 0 and int(s_l.status) == 0
+        np.testing.assert_allclose(
+            np.asarray(s_c.x), np.asarray(s_l.x), atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_c.z), np.asarray(s_l.z), atol=1e-6
+        )
+
     def test_active_constraints_multipliers(self):
         """Binding constraint must yield a positive multiplier."""
         Q = jnp.eye(2)
