@@ -46,7 +46,7 @@ class QpResult(NamedTuple):
     gap: jnp.ndarray
     primal_infeasibility: jnp.ndarray
     dual_infeasibility: jnp.ndarray
-    status: jnp.ndarray  # 0 = optimal, 1 = max-iter
+    status: jnp.ndarray  # 0 = optimal, 1 = max-iter, 2 = NaN-frozen (f32)
 
 
 def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
@@ -169,6 +169,7 @@ def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
         y: jnp.ndarray
         k: jnp.ndarray
         done: jnp.ndarray
+        stalled: jnp.ndarray  # NaN-frozen at the last finite iterate
 
     def converged(x, s, z, y):
         rd, rp, re = residuals(x, s, z, y)
@@ -203,18 +204,39 @@ def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
         dx, ds, dz, dy = kkt_solve(fact, s, z, rd, rp, re, rc)
         alpha = jnp.minimum(max_step(s, ds), max_step(z, dz))
 
-        x = x + alpha * dx
-        s = s + alpha * ds
-        z = z + alpha * dz
-        y = y + alpha * dy
-        return State(x, s, z, y, st.k + 1, converged(x, s, z, y))
+        x_n = x + alpha * dx
+        s_n = s + alpha * ds
+        z_n = z + alpha * dz
+        y_n = y + alpha * dy
+        # NaN-freeze: in f32 the factorization of a rounding-indefinite
+        # Newton matrix yields NaN steps; without this guard a poisoned
+        # lane never satisfies converged() and burns the FULL maxiter in
+        # lockstep with healthy lanes (measured on a v5e RSQO sweep:
+        # 400-iteration burns vs 4-8 for healthy lanes, every SQP step).
+        # Freeze at the LAST FINITE iterate instead: status 2, the caller
+        # gets a usable approximate solution.
+        ok = (
+            jnp.all(jnp.isfinite(x_n))
+            & jnp.all(jnp.isfinite(s_n))
+            & jnp.all(jnp.isfinite(z_n))
+            & jnp.all(jnp.isfinite(y_n))
+        )
+        keep = lambda new, old: jnp.where(ok, new, old)
+        x, s, z, y = keep(x_n, x), keep(s_n, s), keep(z_n, z), keep(y_n, y)
+        stalled = st.stalled | ~ok
+        return State(
+            x, s, z, y, st.k + 1, converged(x, s, z, y) | ~ok, stalled
+        )
 
     def cond(st):
         return (~st.done) & (st.k < maxiter)
 
     st = jax.lax.while_loop(
         cond, body,
-        State(x0, s0, z0, y0, jnp.asarray(0), converged(x0, s0, z0, y0)),
+        State(
+            x0, s0, z0, y0, jnp.asarray(0),
+            converged(x0, s0, z0, y0), jnp.asarray(False),
+        ),
     )
     rd, rp, re = residuals(st.x, st.s, st.z, st.y)
     return QpResult(
@@ -226,5 +248,5 @@ def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
         gap=jnp.vdot(st.s, st.z),
         primal_infeasibility=jnp.linalg.norm(jnp.concatenate([rp, re])),
         dual_infeasibility=jnp.linalg.norm(rd),
-        status=jnp.where(st.done, 0, 1),
+        status=jnp.where(st.stalled, 2, jnp.where(st.done, 0, 1)),
     )

@@ -279,10 +279,17 @@ def make_step(problem, option):
 
         def cond(carry):
             stepsize, gdf0, x_new, f_new, k = carry
-            need = (f_new > (f0 - gdf0)) & (
-                jnp.abs(f_new - (f0 - gdf0)) > option["linesearch_threshold"]
-            )
-            return need & (k < option["linesearch_max"])
+            # NaN-robust Armijo: a non-finite trial value must KEEP
+            # backtracking (the naive `f_new > bound` comparison is False
+            # on NaN and would accept a poisoned point), expressed as
+            # ~(f_new <= bound) | ~isfinite.
+            bound = f0 - gdf0
+            close = jnp.abs(f_new - bound) <= option["linesearch_threshold"]
+            accept = (f_new <= bound) | close
+            need = ~accept | ~jnp.isfinite(f_new)
+            # stepsize underflow guard: a fully non-finite direction can
+            # never produce a finite trial — stop once the step is gone
+            return need & (k < option["linesearch_max"]) & (stepsize > 1e-20)
 
         def body(carry):
             stepsize, gdf0, _, _, k = carry
