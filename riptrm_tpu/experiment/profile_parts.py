@@ -291,6 +291,75 @@ def profile_rsqo(n=200, B=16):
         json.dump(out, f, indent=1)
 
 
+def profile_lowrank(sizes=(64, 256, 512)):
+    """Roofline placement of the LowRank embedded barrier-Hessian matvec.
+
+    For each size (m = size, n = size/2, k = size/8 — chip_sweep's shapes)
+    measures the marginal per-application time of the full hw operator
+    (Vandereycken HVP + barrier term through the embedding) and states it
+    against FLOP and HBM-byte models:
+
+      flops ~ matmul chain of embed_tangent (3) + proj (4) + rhess
+              corrections (~6) + barrier gx/gx_adj (4) = ~17 O(mnk)
+              products -> ~34*m*n*k MACs = 68*m*n*k FLOPs, plus O(mn)
+              elementwise;
+      bytes ~ ~20 [m, n] f32 arrays streamed = 80*m*n bytes (upper bound;
+              XLA fusion keeps most in registers/VMEM at these sizes).
+
+    VERDICT round-2 task 6: either a fixed_rank fast path or a measured
+    statement of what binds the generic XLA path.
+    """
+    from riptrm_tpu.config import setup
+
+    jax = setup(x64=False)
+    import jax.numpy as jnp
+
+    from riptrm_tpu.problems import low_rank
+    from riptrm_tpu.solvers.riptrm import _barrier_ops
+
+    rows = []
+    for size in sizes:
+        m, n = size, max(2, size // 2)
+        rank = min(max(2, size // 8), n - 1, m - 1)
+        key = jax.random.PRNGKey(0)
+        ks = jax.random.split(key, 2)
+        data = low_rank.generate_instance(ks[0], m, n, rank)
+        x0 = low_rank.generate_initialpoint(ks[1], m, n, rank)
+        problem = low_rank.make_problem(data["A"], x0, dtype=jnp.float32)
+        man = problem.manifold
+        x = problem.x0
+        y = jnp.ones((m * n,), jnp.float32)
+        mu = jnp.asarray(0.3, jnp.float32)
+        _, hw, cx = _barrier_ops(problem, x, y, mu)
+
+        def body(v):
+            w = hw(v)
+            nrm = jnp.sqrt(man.inner(x, w, w))
+            return jax.tree.map(lambda a: a / jnp.maximum(nrm, 1e-30), w)
+
+        K_S, K_L = 32, 512
+        f_s = jax.jit(lambda v: _chain(jax, body, K_S)(v)[0][0, 0])
+        f_l = jax.jit(lambda v: _chain(jax, body, K_L)(v)[0][0, 0])
+        v0 = man.proj_tangent(x, jax.tree.map(jnp.ones_like, cx))
+        sec = _marginal(f_s, f_l, K_S, K_L, v0)
+        flops = 68.0 * m * n * rank
+        bytes_ = 80.0 * m * n
+        rows.append({
+            "m": m, "n": n, "k": rank,
+            "hw_us": round(1e6 * sec, 2),
+            "applications_per_s": round(1.0 / sec, 1),
+            "eff_gflops": round(flops / sec / 1e9, 1),
+            "pct_bf16_peak": round(100 * flops / sec / 197e12, 3),
+            "eff_gb_per_s": round(bytes_ / sec / 1e9, 1),
+            "pct_hbm_peak": round(100 * (bytes_ / sec) / 819e9, 2),
+        })
+        print(json.dumps(rows[-1]), flush=True)
+    import jax as _jax
+
+    with open("result/profile_lowrank.json", "w") as f:
+        json.dump({"device": str(_jax.devices()[0]), "rows": rows}, f, indent=1)
+
+
 if __name__ == "__main__":
     from riptrm_tpu.experiment.cfg import maybe_help
 
@@ -298,5 +367,8 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "exact"
     if which == "exact":
         profile_exact(*[int(a) for a in sys.argv[2:]][:1] or [1000])
+    elif which == "lowrank":
+        sizes = [int(a) for a in sys.argv[2:]] or [64, 256, 512]
+        profile_lowrank(sizes)
     else:
         profile_rsqo(*[int(a) for a in sys.argv[2:]][:2] or [200, 16])

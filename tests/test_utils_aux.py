@@ -85,6 +85,22 @@ class TestQPEdgeCases:
             np.asarray(s_c.z), np.asarray(s_l.z), atol=1e-6
         )
 
+    def test_nan_freeze_returns_last_finite_iterate(self):
+        """A poisoned Newton system (here: NaN in Q) must freeze the lane
+        at its last finite iterate with status 2 instead of burning the
+        full maxiter and returning NaNs (the f32 batched-RSQO failure
+        mode, BENCH.md round-3)."""
+        n = 4
+        Q = jnp.eye(n).at[0, 0].set(jnp.nan)
+        p = jnp.ones((n,))
+        G = -jnp.eye(n)
+        h = jnp.ones((n,))
+        sol = solve_qp(Q, p, G, h, maxiter=50)
+        assert int(sol.status) == 2
+        assert int(sol.iterations) == 1  # froze immediately, no burn
+        assert np.isfinite(np.asarray(sol.x)).all()
+        assert np.isfinite(np.asarray(sol.z)).all()
+
     def test_active_constraints_multipliers(self):
         """Binding constraint must yield a positive multiplier."""
         Q = jnp.eye(2)
