@@ -232,7 +232,13 @@ def solve_trs_ms(A, a, radius, *, lanczos_iters=32, newton_iters=48,
     def cond(carry):
         sig, lo, hi, p, np_, ok_any, k, _sn = carry
         done = ok_any & (jnp.abs(np_ - radius) <= rtol * radius)
-        return (~done) & (k < newton_iters)
+        # interior_ok: the unconstrained minimizer wins and the secular
+        # equation has no boundary root — without this gate an interior
+        # step burned ALL newton_iters factorizations whose result was
+        # then discarded for p_int (measured: the dominant cost of
+        # late-solve exact-mode steps, where PD Hessians + small gradients
+        # make interior steps the common case).
+        return (~interior_ok) & (~done) & (k < newton_iters)
 
     init = (sig0, lo0, hi0, jnp.zeros_like(a), jnp.asarray(0.0, dtype),
             jnp.asarray(False), jnp.asarray(0), sig0)
