@@ -64,7 +64,13 @@ def build_sweep(problem_name: str, size: int, batch: int, seed: int = 0):
         with jax.default_device(_cpu_device()):
             data = nonneg_pca.generate_instance(k1, size)
             z_np = np.asarray(data["Z"])
-        xs0 = np.abs(np.asarray(jax.random.normal(k2, (batch, size))))
+            # starts ON THE CPU BACKEND too: a default-device normal() is a
+            # fresh remote TPU program per (batch, size) — measured 1,735 s
+            # of "gen" at B=64 through a slow-compile tunnel tail
+            xs0 = np.abs(
+                np.asarray(jax.random.normal(jax.device_put(k2, _cpu_device()),
+                                             (batch, size)))
+            )
         xs0 = xs0 / np.linalg.norm(xs0, axis=1, keepdims=True)
         problem = nonneg_pca.make_problem(
             z_np, xs0[0], dtype=jnp.float32, matmul_precision="high"
@@ -127,10 +133,12 @@ def build_sweep(problem_name: str, size: int, batch: int, seed: int = 0):
         man = problem.manifold
         x0 = problem.x0
         starts = []
-        for i in range(batch):
-            key, sub = jax.random.split(key)
-            v = man.random_tangent(sub, x0)
-            starts.append(man.retract(x0, 5e-3 * v))
+        with jax.default_device(_cpu_device()):  # per-start programs: CPU
+            x0c = jax.device_put(x0, _cpu_device())
+            for i in range(batch):
+                key, sub = jax.random.split(jax.device_put(key, _cpu_device()))
+                v = man.random_tangent(sub, x0c)
+                starts.append(np.asarray(man.retract(x0c, 5e-3 * v)))
         xs0 = jnp.stack([jnp.asarray(s, jnp.float32) for s in starts])
         ys0 = jnp.ones((batch, problem.num_ineq), jnp.float32)
         return problem, xs0, ys0
@@ -293,6 +301,12 @@ def main(argv=None):
                              "inner loop cannot satisfy the complementarity "
                              "criterion at 'high'-class matvec noise — "
                              "'high' for everything else)")
+    parser.add_argument("--stall-window", type=int, default=None,
+                        help="freeze a sweep lane whose best residual has "
+                             "not improved 1%% in this many steps (lockstep "
+                             "throughput guard: one floor-stalled lane "
+                             "otherwise burns every lane's full budget); "
+                             "baseline-solver sweeps only")
     parser.add_argument("--certify", action="store_true",
                         help="post-hoc batched second-order certificates at "
                              "the sweep's final points (one vmapped "
@@ -359,6 +373,8 @@ def main(argv=None):
         )
     if args.solver == "RSQO":
         option["quadoptim_type"] = args.rsqo_qp_mode
+    if args.stall_window is not None:
+        option["sweep_stall_window"] = args.stall_window
     per_sweep, res, compile_s, _ = measure_sweep(
         problem, xs0, ys0, option, max_steps=args.max_steps, solver=args.solver
     )

@@ -256,7 +256,8 @@ def maybe_wandb_finish(option: dict):
         wandb.finish()
 
 
-def compiled_best_while(step1, state0, target, max_steps, best0):
+def compiled_best_while(step1, state0, target, max_steps, best0,
+                        stall_window=None, stall_rtol=1e-2):
     """THE shared compiled solve loop for all four solvers (the
     freeze-when-done, NaN-robust-running-min, and per-lane-target-stop
     invariants live here and nowhere else).
@@ -271,30 +272,45 @@ def compiled_best_while(step1, state0, target, max_steps, best0):
     a lane whose target equals its starting residual must stop immediately
     rather than burn the whole budget.
 
+    ``stall_window`` (opt-in, throughput sweeps only): freeze a lane whose
+    best residual has not improved by a relative ``stall_rtol`` in that
+    many steps — under vmap ONE floor-stalled lane otherwise forces every
+    lane through the full ``max_steps`` budget (measured: a single
+    8.6e-4-floored RSQO lane cost a 16-lane sweep 60 lockstep steps where
+    ~20 sufficed).  Leave None for protocol runs: plateaus there are
+    legitimately escaped late (the speedrun's full-schedule semantics).
+
     Returns (state, steps, done, best).
     """
     import jax as _jax
     import jax.numpy as _jnp
 
     def cond(carry):
-        st, k, done, best = carry
+        st, k, done, best, since = carry
         return (~done) & (k < max_steps)
 
     def body(carry):
         # Freeze per-lane state when done: under vmap the loop runs until
         # ALL lanes finish; without the freeze finished lanes would keep
         # stepping past their stopping point.
-        st, k, done, best = carry
+        st, k, done, best, since = carry
         new_st, res, counted, stop = step1(st)
         # strict-compare min: a NaN residual (diverged step) must not
         # poison the running best (jnp.minimum propagates NaN)
-        best_new = _jnp.where((~done) & counted & (res < best), res, best)
-        new_done = done | stop | (best_new <= target)
+        improved = (~done) & counted & (res < best)
+        best_new = _jnp.where(improved, res, best)
+        if stall_window is not None:
+            big_improve = improved & (res < (1.0 - stall_rtol) * best)
+            since = _jnp.where(done, since, _jnp.where(big_improve, 0, since + 1))
+            stalled = since >= stall_window
+        else:
+            stalled = False
+        new_done = done | stop | stalled | (best_new <= target)
         st_out = _jax.tree.map(lambda o, n: _jnp.where(done, o, n), st, new_st)
-        return (st_out, k + _jnp.where(done, 0, 1), new_done, best_new)
+        return (st_out, k + _jnp.where(done, 0, 1), new_done, best_new, since)
 
     done0 = best0 <= target
-    st, k, done, best = _jax.lax.while_loop(
-        cond, body, (state0, _jnp.asarray(0), done0, best0)
+    st, k, done, best, _ = _jax.lax.while_loop(
+        cond, body, (state0, _jnp.asarray(0), done0, best0, _jnp.asarray(0))
     )
     return st, k, done, best

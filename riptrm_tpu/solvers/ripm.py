@@ -482,7 +482,8 @@ def solve_compiled_best(problem, option, max_steps: int):
             return new_st, res, jnp.asarray(True), stop
 
         st, k, _, best = compiled_best_while(
-            step1, state, target, max_steps, residual(state)
+            step1, state, target, max_steps, residual(state),
+            stall_window=option.get("sweep_stall_window"),
         )
         return st, k, best
 

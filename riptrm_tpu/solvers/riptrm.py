@@ -976,7 +976,10 @@ class RIPTRM:
             best0 = compute_residual(
                 problem, state.x, state.y, jnp.zeros((0,))
             )[0]
-            return compiled_best_while(step1, state, target, max_steps, best0)
+            return compiled_best_while(
+                step1, state, target, max_steps, best0,
+                stall_window=option.get("sweep_stall_window"),
+            )
 
         return solve
 

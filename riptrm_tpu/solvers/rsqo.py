@@ -356,7 +356,8 @@ def solve_compiled_best(problem, option, max_steps: int):
 
     def solve(state, target):
         st, k, _, best = compiled_best_while(
-            step1, state, target, min(max_steps, maxiter), residual(state)
+            step1, state, target, min(max_steps, maxiter), residual(state),
+            stall_window=option.get("sweep_stall_window"),
         )
         return st, k, best
 

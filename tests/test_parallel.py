@@ -370,6 +370,27 @@ def test_batched_protocol_sweep_time_to_target(setup):
     assert np.all(np.asarray(best_loose) <= 1e-2)
 
 
+def test_sweep_stall_window_freezes_stalled_lane(setup):
+    """With sweep_stall_window set, a lane that cannot improve its best
+    residual stops early instead of burning max_steps; without it, the
+    unreachable-target lane runs the full budget (lockstep guard,
+    solvers/base.py::compiled_best_while)."""
+    from riptrm_tpu.parallel.sweep import batched_protocol_sweep
+
+    problem, xs, ys = setup
+    base = dict(OPTION, maxiter=200, tolresid=1e-30)
+    targets = jnp.full((BATCH,), 1e-30)  # unreachable: forces stall behavior
+    fn_full = batched_protocol_sweep(problem, "RSQO", base, max_steps=200)
+    _, _, ks_full, best_full = fn_full(xs, ys, targets)
+    fn_stall = batched_protocol_sweep(
+        problem, "RSQO", dict(base, sweep_stall_window=10), max_steps=200
+    )
+    _, _, ks_stall, best_stall = fn_stall(xs, ys, targets)
+    assert np.all(np.asarray(ks_stall) < np.asarray(ks_full))
+    # frozen lanes still report their honest best-so-far (same magnitude)
+    assert np.all(np.asarray(best_stall) < 1e-2)
+
+
 def test_speedrun_rescue_pass(setup):
     """The protocol-speedrun rescue branch (experiment/protocol_speedrun.py
     ::rescue_missed_lanes): lanes whose batched best misses the target are
