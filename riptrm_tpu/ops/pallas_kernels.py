@@ -449,7 +449,13 @@ def pallas_tcg_sphere_quadratic_batched(
         ws32,
         gs32,
     )
-    if fits_in_vmem_batched(n, b):
+    # Lane-block cap 64: measured best MXU efficiency (roofline
+    # result/roofline.json: 59.5% of row-fill-adjusted peak at B=64 vs 32%
+    # at B=128 — the [B, n] lane-constant VPU ops grow linearly with B and
+    # swamp the matmul; sweeps confirm 2,548 solves/s whole-batch B=64 vs
+    # 2,372 whole-batch B=128 vs 2,635 gridded-bb=64 B=128).  Whole-batch
+    # only up to 64 lanes; wider batches grid over 64-lane blocks.
+    if b <= 64 and fits_in_vmem_batched(n, b):
         etas, hetas, stats = pl.pallas_call(
             kern,
             out_shape=(
@@ -474,7 +480,7 @@ def pallas_tcg_sphere_quadratic_batched(
     # the fused kernel's per-lane rate for arbitrarily large sweeps (the
     # alternative — the vmapped XLA path — re-reads Z from HBM every
     # batched matvec and measured ~1.8x slower at n=1000, BENCH.md).
-    bb = max_batched_block(n)
+    bb = min(max_batched_block(n), 64)  # 64-lane efficiency cap (above)
     if bb < 8:
         raise ValueError(f"n={n} too large for the batched tCG kernel")
     bb = min(bb, -(-b // 8) * 8)
