@@ -27,6 +27,28 @@ from riptrm_tpu.ops.kkt import compute_residual
 from riptrm_tpu.solvers.riptrm import RIPTRM, RiptrmState, init_state
 
 
+def _batched_exact_defaults(option):
+    """Batched-sweep option defaults for exact mode.
+
+    Under vmap the eigh-cache ``lax.cond`` lowers to select, so the cached
+    eigendecomposition that makes the eigh TRS fast in single-lane solves
+    is DEAD WEIGHT in a sweep (the batched eigh runs every step) — the
+    Moré-Sorensen TRS wins at every dim there (measured on a v5e, n=200
+    B=16: 40.3 certified solves/s ms vs 10.9 eigh at the same 1.7e-4
+    floor; n=500 B=16: 21.5).  Default ``exact_trs_method`` to 'ms' for
+    batched builders unless the caller set it explicitly ('auto' keeps the
+    dim-256 crossover for single-lane host runs, where the cache is live).
+    """
+    if (
+        option
+        and option.get("TRS_solver") == "Exact_RepMat"
+        and "exact_trs_method" not in option
+    ):
+        option = dict(option)
+        option["exact_trs_method"] = "ms"
+    return option
+
+
 def _warn_vmapped_lanczos(option: dict):
     """Under vmap, ``lax.cond`` lowers to ``select``: both branches execute.
     The tCG-mode second-order Lanczos certificate (gated behind the
@@ -73,7 +95,7 @@ def batched_riptrm_solve(problem, option, max_steps: int):
     while_loop running to its own stop (batched lanes run in lockstep to
     the slowest — the masked-batching tradeoff called out in SURVEY §7).
     """
-    solver = RIPTRM(option)
+    solver = RIPTRM(_batched_exact_defaults(option))
     _warn_vmapped_lanczos(solver.option)
     solve = solver.solve_compiled(problem, max_steps)
 
@@ -92,7 +114,7 @@ def sharded_riptrm_solve(problem, option, max_steps: int, mesh: Mesh, axis: str 
     Residuals are returned fully replicated via an all_gather so every host
     can act on global convergence stats.
     """
-    solver = RIPTRM(option)
+    solver = RIPTRM(_batched_exact_defaults(option))
     _warn_vmapped_lanczos(solver.option)
     solve = solver.solve_compiled(problem, max_steps)
 
@@ -135,7 +157,7 @@ def _solver_plumbing(problem, solver_name: str, option, max_steps: int):
     from riptrm_tpu.solvers import ralm, ripm, rsqo
 
     if solver_name == "RIPTRM":
-        solver = RIPTRM(option)
+        solver = RIPTRM(_batched_exact_defaults(option))
         _warn_vmapped_lanczos(solver.option)
         solve = solver.solve_compiled_best(problem, max_steps)
 
@@ -288,11 +310,11 @@ def instance_batched_riptrm(option, max_steps: int, problem_builder=None):
 
         problem_builder = nonneg_pca.make_problem
 
-    _warn_vmapped_lanczos(RIPTRM(option).option)
+    _warn_vmapped_lanczos(RIPTRM(_batched_exact_defaults(option)).option)
 
     def one(data, x0, y0):
         problem = problem_builder(data, x0)
-        solver = RIPTRM(option)
+        solver = RIPTRM(_batched_exact_defaults(option))
         solve = solver.solve_compiled(problem, max_steps)
         st, k = solve(init_state_from(problem, solver.option, x0, y0))
         res = compute_residual(problem, st.x, st.y, jnp.zeros((0,)))[0]
@@ -400,7 +422,7 @@ def make_segment_solver(problem, option, segment_steps: int):
     resumes from any state (outer_iter / mu / trust region are all in the
     carry), so segments compose exactly.
     """
-    solver = RIPTRM(option)
+    solver = RIPTRM(_batched_exact_defaults(option))
     _warn_vmapped_lanczos(solver.option)
     solve = solver.solve_compiled(problem, segment_steps, return_done=True)
 
@@ -475,7 +497,7 @@ def run_sweep_checkpointed(
 
     xs0 = _as_stacked_points(xs0)  # pytree points map; lists stack
     ys0 = jnp.asarray(ys0)
-    solver = RIPTRM(option)
+    solver = RIPTRM(_batched_exact_defaults(option))
     batch = ys0.shape[0]
 
     states0 = jax.vmap(
