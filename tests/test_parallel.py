@@ -370,6 +370,22 @@ def test_batched_protocol_sweep_time_to_target(setup):
     assert np.all(np.asarray(best_loose) <= 1e-2)
 
 
+def test_batched_exact_defaults_to_ms():
+    """Batched builders default exact_trs_method to 'ms' (the vmapped eigh
+    cache is select-dead; measured 3.7x, BENCH.md) unless the caller sets
+    it; non-exact options pass through untouched."""
+    from riptrm_tpu.parallel.sweep import _batched_exact_defaults
+
+    o = _batched_exact_defaults({"TRS_solver": "Exact_RepMat"})
+    assert o["exact_trs_method"] == "ms"
+    o2 = _batched_exact_defaults(
+        {"TRS_solver": "Exact_RepMat", "exact_trs_method": "eigh"}
+    )
+    assert o2["exact_trs_method"] == "eigh"  # explicit choice wins
+    o3 = {"TRS_solver": "tCG"}
+    assert _batched_exact_defaults(o3) is o3  # untouched
+
+
 def test_sweep_stall_window_freezes_stalled_lane(setup):
     """With sweep_stall_window set, a lane that cannot improve its best
     residual stops early instead of burning max_steps; without it, the
