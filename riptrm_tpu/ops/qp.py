@@ -47,10 +47,22 @@ class QpResult(NamedTuple):
     primal_infeasibility: jnp.ndarray
     dual_infeasibility: jnp.ndarray
     status: jnp.ndarray  # 0 = optimal, 1 = max-iter, 2 = NaN-frozen (f32)
+    xinv: object = None  # method='schulz': warm-start inverse for the next QP
+
+
+# Newton-Schulz inverse maintenance (method='schulz') constants: refresh
+# until ||M X - I||_F <= TOL (the final update squares that residual, so
+# the working inverse sits at ~TOL^2), give up after MAX steps (a cold
+# t*I start needs ~log2(cond) + log2(sqrt(n)) + 4 iterations — 64 covers
+# cond ~1e14 at n~1000, i.e. anything f64 can resolve; warm starts and
+# per-IPM-iteration refreshes need 1-3).
+_SCHULZ_TOL = 0.1
+_SCHULZ_MAX = 64
 
 
 def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
-             feastol=1e-10, maxiter=50, warm_z=None, method="chol"):
+             feastol=1e-10, maxiter=50, warm_z=None, method="chol",
+             xinv0=None):
     """Solve the QP; all shapes static.  ``A``/``b`` may be (0, n)/(0,).
 
     Q must be symmetric POSITIVE DEFINITE (the Newton systems are solved by
@@ -69,6 +81,24 @@ def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
     that the LU path drives to the 3.3e-15 reference floor).  Deep-parity
     f64 runs should use 'lu'; chip-sweep f32 runs never resolve those
     digits and keep the ~40%-faster 'chol'.
+
+    'schulz' (inequality-only QPs, A empty) never factorizes at all: it
+    maintains X ~= M^{-1} across IPM iterations by Newton-Schulz iteration
+    X <- X (2I - M X) (quadratic convergence while ||I - M X|| < 1) and
+    solves each Newton system as dx = X rhs plus two Richardson refinement
+    sweeps (relative direction error ~ ||I-XM||^3 ~ 1e-6 at the working
+    residual).  Everything is batched [n,n] matmuls, so under ``vmap`` the
+    whole QP rides the MXU and aggregate throughput SCALES with batch
+    width — unlike the 'chol' path, whose batched Cholesky is
+    column-sequential and scales O(B) (the measured ~69 solves/s RSQO
+    ceiling, BENCH.md round-3 notes).  ``xinv0`` warm-starts X from the
+    previous QP of an SQP sequence (pass ``QpResult.xinv`` back in; an
+    all-zero ``xinv0`` means cold — X starts at I/||M||_inf and the first
+    IPM iteration pays the ~log2(cond) bootstrap).  A refresh that fails
+    to contract (warm X too stale, or f32 overflow) resets to the scaled
+    identity and re-bootstraps once; if even that diverges the lane is
+    frozen at its last finite iterate (status 2), same contract as the
+    NaN-freeze.
     """
     dtype = Q.dtype
     n = Q.shape[0]
@@ -100,6 +130,52 @@ def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
         return rd, rp, re
 
     use_lu = method == "lu"
+    use_schulz = method == "schulz"
+    if use_schulz and l > 0:
+        raise ValueError(
+            "method='schulz' supports inequality-only QPs (A must be empty);"
+            " use 'chol' or 'lu' when equality constraints are present"
+        )
+    eye_n = jnp.eye(n, dtype=dtype) if use_schulz else None
+
+    def build_m(s, z):
+        w = z / s
+        return Q + (G.T * w) @ G
+
+    def _schulz_sweep(X, M, err0):
+        """Newton-Schulz until ||M X - I||_F <= tol (err measured BEFORE
+        each update, so the returned X carries ~err^2)."""
+
+        def cond(c):
+            _, err, k = c
+            return (err > _SCHULZ_TOL) & (k < _SCHULZ_MAX)
+
+        def body(c):
+            X, _, k = c
+            P = M @ X
+            err = jnp.linalg.norm(P - eye_n)
+            X = X @ (2.0 * eye_n - P)
+            X = 0.5 * (X + X.T)
+            return X, err, k + 1
+
+        return jax.lax.while_loop(cond, body, (X, err0, jnp.asarray(0)))
+
+    def schulz_refresh(X, M):
+        """Refresh X against the current M; on divergence (stale warm X or
+        f32 overflow) reset to the scaled identity and re-bootstrap once.
+        Returns (X, err) with err <= 1 iff the inverse is usable."""
+        inf0 = jnp.asarray(jnp.inf, dtype)
+        X1, e1, _ = _schulz_sweep(X, M, inf0)
+        bad = (e1 > 1.0) | ~jnp.all(jnp.isfinite(X1))
+        t = 1.0 / jnp.maximum(
+            jnp.max(jnp.sum(jnp.abs(M), axis=1)), jnp.asarray(1e-30, dtype)
+        )
+        X2, e2, _ = _schulz_sweep(
+            jnp.where(bad, t * eye_n, X1),
+            M,
+            jnp.where(bad, inf0, jnp.asarray(0.0, dtype)),
+        )
+        return X2, jnp.where(bad, e2, e1)
 
     def kkt_factor(s, z):
         """Factor the condensed Newton system once per IPM iteration.
@@ -137,7 +213,13 @@ def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
         """
         cf, minv_at, cs = fact
         rhs_x = -rd - G.T @ ((z * rp - rc) / s)
-        if use_lu:
+        if use_schulz:
+            X, M = cf, minv_at
+            dx = X @ rhs_x
+            dx = dx + X @ (rhs_x - M @ dx)
+            dx = dx + X @ (rhs_x - M @ dx)
+            dy = jnp.zeros((0,), dtype=dtype)
+        elif use_lu:
             if l > 0:
                 sol = jax.scipy.linalg.lu_solve(
                     cf, jnp.concatenate([rhs_x, -re])
@@ -170,6 +252,8 @@ def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
         k: jnp.ndarray
         done: jnp.ndarray
         stalled: jnp.ndarray  # NaN-frozen at the last finite iterate
+        X: jnp.ndarray  # schulz: running inverse ((0,0) otherwise)
+        Xf: jnp.ndarray  # schulz: first-iteration snapshot (next-QP warm)
 
     def converged(x, s, z, y):
         rd, rp, re = residuals(x, s, z, y)
@@ -188,7 +272,12 @@ def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
         x, s, z, y = st.x, st.s, st.z, st.y
         rd, rp, re = residuals(x, s, z, y)
         mu = jnp.vdot(s, z) / max(m, 1)  # m == 0: equality-only QP, mu := 0
-        fact = kkt_factor(s, z)
+        if use_schulz:
+            M = build_m(s, z)
+            Xr, schulz_err = schulz_refresh(st.X, M)
+            fact = (Xr, M, None)
+        else:
+            fact = kkt_factor(s, z)
 
         # affine (predictor) step
         rc_aff = z * s
@@ -221,21 +310,54 @@ def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
             & jnp.all(jnp.isfinite(z_n))
             & jnp.all(jnp.isfinite(y_n))
         )
+        if use_schulz:
+            # A non-contracting Schulz refresh (even after the identity
+            # reset) means the direction was garbage: freeze exactly like
+            # a NaN factorization would.
+            ok = ok & (schulz_err <= 1.0)
         keep = lambda new, old: jnp.where(ok, new, old)
         x, s, z, y = keep(x_n, x), keep(s_n, s), keep(z_n, z), keep(y_n, y)
         stalled = st.stalled | ~ok
+        if use_schulz:
+            X_new = jnp.where(ok, Xr, st.X)
+            Xf_new = jnp.where((st.k == 0) & ok, X_new, st.Xf)
+        else:
+            X_new, Xf_new = st.X, st.Xf
         return State(
-            x, s, z, y, st.k + 1, converged(x, s, z, y) | ~ok, stalled
+            x, s, z, y, st.k + 1, converged(x, s, z, y) | ~ok, stalled,
+            X_new, Xf_new,
         )
 
     def cond(st):
         return (~st.done) & (st.k < maxiter)
+
+    if use_schulz:
+        # Warm X from the previous QP when the caller passed one with
+        # content; otherwise the scaled identity (first refresh sweep in
+        # body() pays the ~log2(cond) bootstrap).
+        M0 = build_m(s0, z0)
+        t0 = 1.0 / jnp.maximum(
+            jnp.max(jnp.sum(jnp.abs(M0), axis=1)), jnp.asarray(1e-30, dtype)
+        )
+        cold = t0 * eye_n
+        if xinv0 is None:
+            X_init = cold
+        else:
+            xw = jnp.asarray(xinv0, dtype=dtype)
+            X_init = jnp.where(
+                jnp.all(jnp.isfinite(xw)) & (jnp.sum(xw * xw) > 0), xw, cold
+            )
+        Xf_init = jnp.zeros((n, n), dtype=dtype)
+    else:
+        X_init = jnp.zeros((0, 0), dtype=dtype)
+        Xf_init = jnp.zeros((0, 0), dtype=dtype)
 
     st = jax.lax.while_loop(
         cond, body,
         State(
             x0, s0, z0, y0, jnp.asarray(0),
             converged(x0, s0, z0, y0), jnp.asarray(False),
+            X_init, Xf_init,
         ),
     )
     rd, rp, re = residuals(st.x, st.s, st.z, st.y)
@@ -249,4 +371,5 @@ def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
         primal_infeasibility=jnp.linalg.norm(jnp.concatenate([rp, re])),
         dual_infeasibility=jnp.linalg.norm(rd),
         status=jnp.where(st.stalled, 2, jnp.where(st.done, 0, 1)),
+        xinv=st.Xf if use_schulz else None,
     )

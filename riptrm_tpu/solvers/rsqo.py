@@ -77,6 +77,11 @@ class RsqoState(NamedTuple):
     y: jnp.ndarray  # inequality multipliers
     z: jnp.ndarray  # equality multipliers
     rho: jnp.ndarray
+    # quadoptim_linear_solver='schulz': the previous QP's first-iteration
+    # Newton-Schulz inverse, warm-starting the next QP's X (None otherwise —
+    # JAX treats None as an empty subtree, so the carry structure is static
+    # per configuration).
+    qp_xinv: object = None
 
 
 def _shift_regularize(q, thld, corr):
@@ -249,6 +254,7 @@ def make_step(problem, option):
             maxiter=option["quadoptim_maxiter"],
             warm_z=y if (m > 0 and option["quadoptim_warm_start"]) else None,
             method=option["quadoptim_linear_solver"],
+            xinv0=state.qp_xinv,
         )
         coeff = sol.x
         y_new = sol.z
@@ -303,7 +309,9 @@ def make_step(problem, option):
         )
         ls_status = ls_count < option["linesearch_max"]
 
-        new_state = RsqoState(x=x_new, y=y_new, z=z_new, rho=rho)
+        new_state = RsqoState(
+            x=x_new, y=y_new, z=z_new, rho=rho, qp_xinv=sol.xinv
+        )
         info = {
             "rho": rho,
             "upsilon": upsilon,
@@ -326,9 +334,19 @@ def make_step(problem, option):
 def init_state(problem, option):
     y0 = jnp.asarray(problem.y0)
     z0 = jnp.asarray(problem.z0)
+    dtype = y0.dtype if y0.size else jnp.asarray(1.0).dtype
+    # 'schulz' carries the QP's Newton-Schulz inverse across SQP steps;
+    # an all-zero init means "cold" to solve_qp (which then bootstraps
+    # from the scaled identity on the first QP).
+    qp_xinv = (
+        jnp.zeros((problem.manifold.dim, problem.manifold.dim), dtype=dtype)
+        if option.get("quadoptim_linear_solver") == "schulz"
+        else None
+    )
     return RsqoState(
         x=problem.x0, y=y0, z=z0,
-        rho=jnp.asarray(option["rho"], dtype=y0.dtype if y0.size else jnp.asarray(1.0).dtype),
+        rho=jnp.asarray(option["rho"], dtype=dtype),
+        qp_xinv=qp_xinv,
     )
 
 

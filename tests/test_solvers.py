@@ -105,6 +105,22 @@ class TestRSQO:
         assert _final_residual(out) <= 1e-8
         assert out.log["cost"][-1] == pytest.approx(-1.537809, abs=1e-4)
 
+    def test_converges_schulz_qp(self, pca):
+        """The factorization-free QP linear solve (quadoptim_linear_solver=
+        'schulz', the MXU batch-scaling chip path) must reach the same
+        optimum at the same depth as the Cholesky path on the golden
+        instance."""
+        out = RSQO(
+            OPT_COMMON
+            | {
+                "tolresid": 1e-8,
+                "quadoptim_eigvalcorr": 1e-2,
+                "quadoptim_linear_solver": "schulz",
+            }
+        ).run(pca)
+        assert _final_residual(out) <= 1e-8
+        assert out.log["cost"][-1] == pytest.approx(-1.537809, abs=1e-4)
+
 
 class TestRALM:
     def test_reaches_stationarity(self, pca):

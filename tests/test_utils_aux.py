@@ -85,6 +85,63 @@ class TestQPEdgeCases:
             np.asarray(s_c.z), np.asarray(s_l.z), atol=1e-6
         )
 
+    def test_schulz_matches_chol(self):
+        """method='schulz' (factorization-free Newton-Schulz inverse
+        maintenance, the MXU batch-scaling path) must agree with 'chol'
+        to solver tolerance on a moderately conditioned QP."""
+        n, m = 30, 40
+        rng = np.random.default_rng(7)
+        L = rng.normal(size=(n, n))
+        Q = jnp.asarray(L @ L.T + np.eye(n))
+        p = jnp.asarray(rng.normal(size=n))
+        G = jnp.asarray(rng.normal(size=(m, n)))
+        h = jnp.asarray(np.abs(rng.normal(size=m)) + 0.5)
+        kw = dict(abstol=1e-9, reltol=1e-9, feastol=1e-9)
+        s_c = solve_qp(Q, p, G, h, method="chol", **kw)
+        s_s = solve_qp(Q, p, G, h, method="schulz", **kw)
+        assert int(s_c.status) == 0
+        # schulz's accuracy ceiling is O(eps * cond(M)): at 1e-9-deep
+        # tolerances the late-IPM barrier conditioning can trip the
+        # freeze (status 2) — the contract is an honest near-solution,
+        # not a burned budget.
+        assert int(s_s.status) in (0, 2)
+        np.testing.assert_allclose(
+            np.asarray(s_s.x), np.asarray(s_c.x), atol=1e-5
+        )
+        assert float(s_s.gap) < 1e-4
+        assert float(s_s.dual_infeasibility) < 1e-4
+        assert s_s.xinv is not None and s_s.xinv.shape == (n, n)
+
+    def test_schulz_warm_start_reuses_inverse(self):
+        """Passing QpResult.xinv back as xinv0 (the SQP carry) must still
+        converge to the same solution — and a garbage warm inverse must
+        be survivable via the identity reset, not poison the solve."""
+        n, m = 20, 25
+        rng = np.random.default_rng(11)
+        L = rng.normal(size=(n, n))
+        Q = jnp.asarray(L @ L.T + np.eye(n))
+        p = jnp.asarray(rng.normal(size=n))
+        G = jnp.asarray(rng.normal(size=(m, n)))
+        h = jnp.asarray(np.abs(rng.normal(size=m)) + 0.5)
+        cold = solve_qp(Q, p, G, h, method="schulz")
+        warm = solve_qp(Q, p, G, h, method="schulz", xinv0=cold.xinv)
+        np.testing.assert_allclose(
+            np.asarray(warm.x), np.asarray(cold.x), atol=1e-6
+        )
+        stale = solve_qp(
+            Q, p, G, h, method="schulz", xinv0=1e6 * jnp.eye(n)
+        )
+        assert int(stale.status) in (0, 2)
+        assert np.all(np.isfinite(np.asarray(stale.x)))
+
+    def test_schulz_rejects_equality_constraints(self):
+        n = 4
+        with pytest.raises(ValueError, match="inequality-only"):
+            solve_qp(
+                jnp.eye(n), jnp.ones(n), -jnp.eye(n), jnp.ones(n),
+                jnp.ones((1, n)), jnp.ones(1), method="schulz",
+            )
+
     def test_nan_freeze_returns_last_finite_iterate(self):
         """A poisoned Newton system (here: NaN in Q) must freeze the lane
         at its last finite iterate with status 2 instead of burning the
