@@ -48,6 +48,25 @@ def test_measure_sweep_nonneg_pca():
     assert np.all(res < 1e-2)
 
 
+def test_measure_sweep_rsqo_schulz():
+    """The --rsqo-linear-solver=schulz chip path (factorization-free QP,
+    batch-scaling on the MXU) must converge the batched RSQO sweep to the
+    same residual class as the Cholesky path."""
+    problem, xs0, ys0 = build_sweep("NonnegPCA", 32, 2, seed=0)
+    option = {
+        "maxiter": 40,
+        "tolresid": 1e-3,
+        "quadoptim_type": "reghess_shift",
+        "quadoptim_linear_solver": "schulz",
+    }
+    per_sweep, res, _, _ = measure_sweep(
+        problem, xs0, ys0, option, max_steps=60, reps=(1, 2), tries=1,
+        solver="RSQO",
+    )
+    assert per_sweep > 0
+    assert np.all(res < 1e-2)
+
+
 def test_build_sweep_bounded_pca():
     problem, xs0, ys0 = build_sweep("BoundedPCA", 32, 2, seed=3)
     assert xs0.shape[0] == 2 and xs0.shape[1] == 32
