@@ -27,6 +27,8 @@ import time
 
 import numpy as np
 
+from riptrm_tpu.utils.retry import retry_transient
+
 N = 1000
 CHAIN_SHORT = 512
 # Long-chain lengths sized so the device-time delta clearly exceeds the
@@ -40,6 +42,11 @@ SOLVE_STEPS = 400
 # the headline JSON line always prints within the driver's budget.
 DEADLINE_S = 480.0
 _START = time.time()
+# Retry sleeps (35 s worker-recovery windows) extend the deadline so a
+# healed flake doesn't truncate the remaining sections; capped so the
+# driver's external budget still bounds the run.
+_MAX_DEADLINE_EXTENSION_S = 150.0
+_deadline_extension_s = 0.0
 
 # Results accumulate here as sections complete; the emit path (normal end,
 # SIGTERM from an external timeout, or the SIGALRM backstop) prints whatever
@@ -79,7 +86,37 @@ def _install_deadline_handlers():
 
 
 def _time_left(margin: float = 60.0) -> bool:
-    return time.time() - _START < DEADLINE_S - margin
+    return time.time() - _START < DEADLINE_S + _deadline_extension_s - margin
+
+
+def _retry(fn, label):
+    """Section-level transient-failure guard (VERDICT r3 item 1).
+
+    The round-3 driver artifact recorded value=0 for a transient
+    FAILED_PRECONDITION the worker healed from in ~30 s; every device
+    section now absorbs up to two such windows before giving up.  Retry
+    counts land in the emitted extras so a flaky run is visible.
+    """
+
+    def note(attempt, exc):
+        global _deadline_extension_s
+        import signal
+
+        RESULT["extras"]["transient_retries"] = (
+            RESULT["extras"].get("transient_retries", 0) + 1
+        )
+        _deadline_extension_s = min(
+            _deadline_extension_s + 35.0, _MAX_DEADLINE_EXTENSION_S
+        )
+        remaining = DEADLINE_S + _deadline_extension_s + 30 - (time.time() - _START)
+        signal.alarm(max(1, int(remaining)))
+        print(
+            f"[bench retry] {label}: transient device error "
+            f"(attempt {attempt + 1}), sleeping 35s: {exc!r}"[:400],
+            flush=True,
+        )
+
+    return retry_transient(fn, tries=3, sleep_s=35.0, label=label, on_retry=note)
 
 
 def main():
@@ -94,11 +131,16 @@ def main():
     from riptrm_tpu.solvers.riptrm import RIPTRM, _barrier_ops, init_state
 
     dtype = jnp.float32
-    key = jax.random.PRNGKey(0)
-    k1, k2 = jax.random.split(key)
-    data = nonneg_pca.generate_instance(k1, N)
-    x0 = np.abs(np.asarray(jax.random.normal(k2, (N,))))
-    x0 = x0 / np.linalg.norm(x0)
+
+    def _setup():
+        key = jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(key)
+        data = nonneg_pca.generate_instance(k1, N)
+        x0 = np.abs(np.asarray(jax.random.normal(k2, (N,))))
+        x0 = x0 / np.linalg.norm(x0)
+        return data, x0
+
+    data, x0 = _retry(_setup, "setup")
     problem = nonneg_pca.make_problem(data["Z"], x0, dtype=dtype)
 
     # f32-aware forcing floors: the reference's 1e-14 floors assume f64.  At
@@ -155,11 +197,14 @@ def main():
         return (k_long - CHAIN_SHORT) / dt
 
     v0 = jnp.asarray(problem.manifold.random_tangent(jax.random.PRNGKey(2), x), dtype)
-    xla_matvecs_per_s = marginal_rate(
-        jax.jit(lambda v: chain(v, CHAIN_SHORT)),
-        jax.jit(lambda v: chain(v, CHAIN_LONG_XLA)),
-        v0,
-        CHAIN_LONG_XLA,
+    xla_matvecs_per_s = _retry(
+        lambda: marginal_rate(
+            jax.jit(lambda v: chain(v, CHAIN_SHORT)),
+            jax.jit(lambda v: chain(v, CHAIN_LONG_XLA)),
+            v0,
+            CHAIN_LONG_XLA,
+        ),
+        "headline_xla_chain",
     )
 
     # Pallas VMEM-resident chain (Z loaded from HBM once per chain)
@@ -174,13 +219,20 @@ def main():
         zs = jnp.asarray(0.5 * (data["Z"] + data["Z"].T), dtype)
         c_slack = problem.slack(x)
         w_bar = y / c_slack
-        pallas_matvecs_per_s = marginal_rate(
-            jax.jit(lambda v: chained_barrier_matvec(zs, x, w_bar, v, CHAIN_SHORT)),
-            jax.jit(
-                lambda v: chained_barrier_matvec(zs, x, w_bar, v, CHAIN_LONG_PALLAS)
+        pallas_matvecs_per_s = _retry(
+            lambda: marginal_rate(
+                jax.jit(
+                    lambda v: chained_barrier_matvec(zs, x, w_bar, v, CHAIN_SHORT)
+                ),
+                jax.jit(
+                    lambda v: chained_barrier_matvec(
+                        zs, x, w_bar, v, CHAIN_LONG_PALLAS
+                    )
+                ),
+                v0,
+                CHAIN_LONG_PALLAS,
             ),
-            v0,
-            CHAIN_LONG_PALLAS,
+            "headline_pallas_chain",
         )
     except Exception as e:  # non-TPU backend: report the XLA path only
         pallas_error = f"{type(e).__name__}: {e}"[:300]
@@ -297,9 +349,12 @@ def main():
             t_batch = max(t_bl - t_bs, 2e-3) / (B_LONG - B_SHORT)
             return t_batch, k_avg, res_host
 
-        t_batch, k_batch, res_host = measure_batch(
-            batched_riptrm_solve(problem_hp, option, max_steps=SOLVE_STEPS),
-            xs0, ys0,
+        t_batch, k_batch, res_host = _retry(
+            lambda: measure_batch(
+                batched_riptrm_solve(problem_hp, option, max_steps=SOLVE_STEPS),
+                xs0, ys0,
+            ),
+            "batch16_xla",
         )
         batch_stats.update(
             batch16_solves_per_sec=round(B / t_batch, 3),
@@ -312,13 +367,16 @@ def main():
         # batched path at the same residual floor).
         if pallas_matvecs_per_s and _time_left(120.0):
             try:
-                t_p, k_p, res_p = measure_batch(
-                    batched_riptrm_solve(
-                        problem_hp,
-                        option | {"use_pallas_tcg": True},
-                        max_steps=SOLVE_STEPS,
+                t_p, k_p, res_p = _retry(
+                    lambda: measure_batch(
+                        batched_riptrm_solve(
+                            problem_hp,
+                            option | {"use_pallas_tcg": True},
+                            max_steps=SOLVE_STEPS,
+                        ),
+                        xs0, ys0,
                     ),
-                    xs0, ys0,
+                    "batch16_pallas",
                 )
                 batch_stats.update(
                     batch16_pallas_solves_per_sec=round(B / t_p, 3),
@@ -335,13 +393,16 @@ def main():
                 xsL = jnp.abs(jax.random.normal(kb, (BL, N), dtype=dtype))
                 xsL = xsL / jnp.linalg.norm(xsL, axis=1, keepdims=True)
                 ysL = jnp.ones((BL, N), dtype=dtype)
-                t_p, k_p, res_p = measure_batch(
-                    batched_riptrm_solve(
-                        problem_hp,
-                        option | {"use_pallas_tcg": True},
-                        max_steps=SOLVE_STEPS,
+                t_p, k_p, res_p = _retry(
+                    lambda: measure_batch(
+                        batched_riptrm_solve(
+                            problem_hp,
+                            option | {"use_pallas_tcg": True},
+                            max_steps=SOLVE_STEPS,
+                        ),
+                        xsL, ysL,
                     ),
-                    xsL, ysL,
+                    "batch128_pallas",
                 )
                 batch_stats.update(
                     batch128_pallas_solves_per_sec=round(BL / t_p, 1),
@@ -406,7 +467,9 @@ def main():
 
     if _time_left(90.0):
         solve = solver.solve_compiled(problem, max_steps=SOLVE_STEPS)
-        inner_steps, outer_iters, t_solve, final_residual = solve_marginal(solve)
+        inner_steps, outer_iters, t_solve, final_residual = _retry(
+            lambda: solve_marginal(solve), "full_solve"
+        )
         extras.update(
             inner_steps_per_sec=round(inner_steps / t_solve, 2),
             outer_iters_per_sec=round(outer_iters / t_solve, 2),
@@ -419,7 +482,9 @@ def main():
     if pallas_matvecs_per_s and _time_left(90.0):
         solver_p = RIPTRM(option | {"use_pallas_tcg": True})
         solve_p = solver_p.solve_compiled(problem, max_steps=SOLVE_STEPS)
-        steps_p, _, t_p, _ = solve_marginal(solve_p)
+        steps_p, _, t_p, _ = _retry(
+            lambda: solve_marginal(solve_p), "full_solve_pallas"
+        )
         extras.update(
             pallas_solve_inner_steps_per_sec=round(steps_p / t_p, 1),
             pallas_solve_ms=round(t_p * 1e3, 2),

@@ -33,6 +33,7 @@ import time
 import numpy as np
 
 from riptrm_tpu.utils.devices import local_cpu
+from riptrm_tpu.utils.retry import retry_transient
 
 
 def _cpu_device():
@@ -384,8 +385,15 @@ def main(argv=None):
         option["quadoptim_linear_solver"] = args.rsqo_linear_solver
     if args.stall_window is not None:
         option["sweep_stall_window"] = args.stall_window
-    per_sweep, res, compile_s, _ = measure_sweep(
-        problem, xs0, ys0, option, max_steps=args.max_steps, solver=args.solver
+    # Transient-failure guard (VERDICT r3 item 1): the TPU worker crashes
+    # and self-recovers in ~30 s; absorb up to two such windows instead of
+    # recording an error row for a flake.
+    per_sweep, res, compile_s, _ = retry_transient(
+        lambda: measure_sweep(
+            problem, xs0, ys0, option, max_steps=args.max_steps,
+            solver=args.solver,
+        ),
+        label="chip_sweep.measure",
     )
     out = {
         "problem": args.problem,
@@ -413,11 +421,17 @@ def main(argv=None):
         )
 
         bsolve = batched_riptrm_solve(problem, option, max_steps=args.max_steps)
-        states, _, _ = jax.block_until_ready(bsolve(xs0, ys0))
+        states, _, _ = retry_transient(
+            lambda: jax.block_until_ready(bsolve(xs0, ys0)),
+            label="chip_sweep.certify_solve",
+        )
         t0 = time.time()
-        mineigs = np.asarray(
-            certify_second_order(problem, states.x, states.y, ratio_cap=1e8)
-        )  # np.asarray = the forced host fetch (tunnel timing rules)
+        mineigs = retry_transient(
+            lambda: np.asarray(
+                certify_second_order(problem, states.x, states.y, ratio_cap=1e8)
+            ),  # np.asarray = the forced host fetch (tunnel timing rules)
+            label="chip_sweep.certify",
+        )
         out["certify_s"] = round(time.time() - t0, 3)
         out["certified_mineig_min"] = float(np.nanmin(mineigs))
         out["certified_mineig_median"] = float(np.nanmedian(mineigs))
