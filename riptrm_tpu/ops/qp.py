@@ -55,9 +55,18 @@ class QpResult(NamedTuple):
 # the working inverse sits at ~TOL^2), give up after MAX steps (a cold
 # t*I start needs ~log2(cond) + log2(sqrt(n)) + 4 iterations — 64 covers
 # cond ~1e14 at n~1000, i.e. anything f64 can resolve; warm starts and
-# per-IPM-iteration refreshes need 1-3).
+# per-IPM-iteration refreshes need 1-3, so the warm sweep gets a small
+# budget (WARM_MAX) and a stale inverse fails fast to the scaled-identity
+# reset instead of burning 64 n^3 sweeps in vmap lockstep (ADVICE r3).
+# An inverse is USABLE only at err <= sqrt(TOL): below that the two
+# Richardson refinement sweeps leave a relative direction error
+# ~ err^3 <= 3.2% — a budget-exhausted sweep stuck at err in
+# (sqrt(TOL), 1] used to slip through the old err <= 1 gate and burn the
+# IPM's remaining maxiter on near-useless O(1)-error steps (ADVICE r3).
 _SCHULZ_TOL = 0.1
 _SCHULZ_MAX = 64
+_SCHULZ_WARM_MAX = 8
+_SCHULZ_USABLE = 0.31622776601  # sqrt(_SCHULZ_TOL)
 
 
 def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
@@ -142,13 +151,14 @@ def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
         w = z / s
         return Q + (G.T * w) @ G
 
-    def _schulz_sweep(X, M, err0):
+    def _schulz_sweep(X, M, err0, max_iter):
         """Newton-Schulz until ||M X - I||_F <= tol (err measured BEFORE
-        each update, so the returned X carries ~err^2)."""
+        each update, so the returned X carries ~err^2), at most max_iter
+        updates."""
 
         def cond(c):
             _, err, k = c
-            return (err > _SCHULZ_TOL) & (k < _SCHULZ_MAX)
+            return (err > _SCHULZ_TOL) & (k < max_iter)
 
         def body(c):
             X, _, k = c
@@ -162,20 +172,30 @@ def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
 
     def schulz_refresh(X, M):
         """Refresh X against the current M; on divergence (stale warm X or
-        f32 overflow) reset to the scaled identity and re-bootstrap once.
-        Returns (X, err) with err <= 1 iff the inverse is usable."""
+        f32 overflow) reset to the scaled identity and re-bootstrap.
+        Returns (X, err) with err <= _SCHULZ_USABLE iff the inverse is
+        usable.
+
+        Two-phase budget (ADVICE r3): the warm sweep gets WARM_MAX=8
+        updates — a healthy carried inverse converges in 1-3, a stale one
+        fails fast instead of burning the full 64 in vmap lockstep — and
+        the second sweep either CONTINUES a slowly-contracting warm X or
+        re-bootstraps from the scaled identity when the warm sweep
+        diverged, with the full 64 budget.
+        """
         inf0 = jnp.asarray(jnp.inf, dtype)
-        X1, e1, _ = _schulz_sweep(X, M, inf0)
-        bad = (e1 > 1.0) | ~jnp.all(jnp.isfinite(X1))
+        X1, e1, _ = _schulz_sweep(X, M, inf0, _SCHULZ_WARM_MAX)
+        bad = ~jnp.isfinite(e1) | (e1 > 1.0) | ~jnp.all(jnp.isfinite(X1))
         t = 1.0 / jnp.maximum(
             jnp.max(jnp.sum(jnp.abs(M), axis=1)), jnp.asarray(1e-30, dtype)
         )
         X2, e2, _ = _schulz_sweep(
             jnp.where(bad, t * eye_n, X1),
             M,
-            jnp.where(bad, inf0, jnp.asarray(0.0, dtype)),
+            jnp.where(bad, inf0, e1),
+            _SCHULZ_MAX,
         )
-        return X2, jnp.where(bad, e2, e1)
+        return X2, e2
 
     def kkt_factor(s, z):
         """Factor the condensed Newton system once per IPM iteration.
@@ -311,10 +331,13 @@ def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
             & jnp.all(jnp.isfinite(y_n))
         )
         if use_schulz:
-            # A non-contracting Schulz refresh (even after the identity
-            # reset) means the direction was garbage: freeze exactly like
-            # a NaN factorization would.
-            ok = ok & (schulz_err <= 1.0)
+            # A Schulz refresh that exhausted its budget above the usable
+            # threshold (even after the identity reset) means the
+            # direction carries O(err^3) > few-% relative error: freeze
+            # exactly like a NaN factorization would (ADVICE r3 — the old
+            # err <= 1 gate let a lane burn its remaining maxiter on
+            # near-useless steps at extreme late-IPM conditioning).
+            ok = ok & (schulz_err <= _SCHULZ_USABLE)
         keep = lambda new, old: jnp.where(ok, new, old)
         x, s, z, y = keep(x_n, x), keep(s_n, s), keep(z_n, z), keep(y_n, y)
         stalled = st.stalled | ~ok

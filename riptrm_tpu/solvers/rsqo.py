@@ -332,9 +332,18 @@ def make_step(problem, option):
 
 
 def init_state(problem, option):
-    y0 = jnp.asarray(problem.y0)
-    z0 = jnp.asarray(problem.z0)
-    dtype = y0.dtype if y0.size else jnp.asarray(1.0).dtype
+    # All carried leaves are pinned to the problem's COORDINATE dtype
+    # (the dtype of x0's leaves, which is what Q — and therefore every
+    # solve_qp output — comes back in).  Deriving qp_xinv's dtype from y0
+    # instead flipped the compiled while_loop carry dtype after the first
+    # step on problems where y0's dtype differs from the coordinate dtype
+    # (e.g. m == 0 under mixed precision) — ADVICE r3.
+    x_leaves = jax.tree.leaves(problem.x0)
+    dtype = (
+        jnp.result_type(*x_leaves) if x_leaves else jnp.asarray(1.0).dtype
+    )
+    y0 = jnp.asarray(problem.y0, dtype=dtype)
+    z0 = jnp.asarray(problem.z0, dtype=dtype)
     # 'schulz' carries the QP's Newton-Schulz inverse across SQP steps;
     # an all-zero init means "cold" to solve_qp (which then bootstraps
     # from the scaled identity on the first QP).
