@@ -1,27 +1,41 @@
 """Roofline / MFU accounting for the fused batched Pallas tCG kernels.
 
 Anchors "fast" to the hardware instead of the NumPy baseline (BENCH.md
-MFU section): measures achieved FLOP/s of ``_tcg_kernel_batched``
-(sphere_quadratic) and ``_tcg_kernel_stiefel`` (stiefel_bound) and states
-them against the chip's MXU peak.
+MFU section): measures achieved FLOP/s of the batched sphere and stiefel
+tCG kernels and states them against (a) the chip's raw bf16 MXU peak and
+(b) an EMPIRICAL speed-of-light: a bare VMEM-resident matvec chain
+(``ops/pallas_kernels.py::bare_matvec_chain``) with the same matvec
+shape, precision scheme, orientation and residency as each kernel, run
+under the same marginal-timing methodology.
 
-FLOP model (per tCG iteration, B lanes, dimension n):
-  sphere:  one [B, n] x [n, n] matvec in bf16x3 (3 MXU passes)
-           = 3 * 2*B*n^2 MAC-FLOPs, plus O(40*B*n) VPU elementwise.
-  stiefel: one [n, Bp] x [n, n] matvec (bf16x3) + the lane-masked
-           [Bp, Bp] contractions (proj/lane_sum: 4 HIGHEST dots)
-           = 6*n*Bp*(n + ~2*Bp) (HIGHEST dots cost ~6 passes).
+Utilization model (round-4 revision): the previous derived
+"row-fill-adjusted peak" (achieved / (B/128 linear fill cap)) measured
+**117%** at B=16 — the linear fill model is NOT an upper bound for
+skinny MXU operands (pipelined weight reuse beats B/128 proportionality)
+— so all derived-cap columns are gone.  What is reported per row:
 
-Peaks (TPU v5e, single chip): 197 TFLOP/s bf16; the bf16x3 'high' scheme
-retires 3 MXU passes per logical f32 matmul, so its EFFECTIVE f32 peak is
-197/3 = 65.7 TFLOP/s.  A [B, n] operand with B < 128 fills only B of the
-MXU's 128 systolic rows, capping utilization at B/128 regardless of
-kernel quality — the measurement sweeps B to expose exactly that.
+  pct_bf16_peak            achieved hardware bf16-pass FLOP/s over the
+                           197 TFLOP/s chip peak (raw, model-free)
+  pct_of_bare_matvec_chain tCG iterations/s over the bare chain's
+                           iterations/s at the kernel's own block shape.
+                           The tCG body does a superset of the chain's
+                           work per iteration, so this is structurally
+                           <= 100% (small noise excursions aside) and
+                           directly answers "how much of the kernel's
+                           time is its matvec" — 100% = the fused control
+                           flow is free.
+
+FLOP accounting: sphere matvec is hand-rolled bf16x3 ("high": 3 MXU
+passes -> 6*B*n^2 hw FLOPs/iter + VPU elementwise); stiefel matvec is
+HIGHEST (bf16x6 -> 12*Bp*n^2 hw FLOPs/iter; round 3 counted 3 passes and
+under-reported stiefel by 2x — corrected here, noted in BENCH.md).
+Kernels grid over lane blocks (sphere: 64 lanes; stiefel:
+``stiefel_lane_block``), so the chain denominator is measured at the
+per-block shape and scaled by the grid's sequential block count.
 
 Methodology: marginal rate between two scan-chain lengths, each ending in
 a forced host fetch (CLAUDE.md tunnel rules); iteration counts read back
-from the kernel's own stats output (the while loop runs to the slowest
-live lane, so trips = max over lanes).
+from the kernel's own stats output.
 
     python -m riptrm_tpu.experiment.roofline [--sizes 1000] [--batches 16 64 128]
 """
@@ -35,7 +49,6 @@ import time
 import numpy as np
 
 PEAK_BF16 = 197e12  # TPU v5e single-chip MXU peak, FLOP/s
-PEAK_BF16X3 = PEAK_BF16 / 3.0  # effective f32 ('high' scheme) peak
 
 
 def _measure_chain(make_chain, lens=(50, 1050), tries=5):
@@ -72,8 +85,35 @@ def _measure_chain(make_chain, lens=(50, 1050), tries=5):
     return (trips_l - trips_s) / dt, d_calls / dt, (trips_l - trips_s) / d_calls
 
 
+def bare_chain_rate(jax, jnp, z, v0, precision, left, lens=(1024, 16384),
+                    tries=5):
+    """Iterations/s of the bare matvec chain at this shape (marginal)."""
+    from riptrm_tpu.ops.pallas_kernels import bare_matvec_chain
+
+    def make(k):
+        f = jax.jit(lambda v: bare_matvec_chain(z, v, k, precision, left))
+        return f
+
+    f_s, f_l = make(lens[0]), make(lens[1])
+    np.asarray(f_s(v0)), np.asarray(f_l(v0))  # compile both
+
+    def timed(f):
+        ts = []
+        for _ in range(tries):
+            t0 = time.perf_counter()
+            np.asarray(f(v0))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    dt = max(timed(f_l) - timed(f_s), 1e-4)
+    return (lens[1] - lens[0]) / dt
+
+
 def sphere_case(jax, jnp, n, b, maxinner):
-    from riptrm_tpu.ops.pallas_kernels import pallas_tcg_sphere_quadratic_batched
+    from riptrm_tpu.ops.pallas_kernels import (
+        max_batched_block,
+        pallas_tcg_sphere_quadratic_batched,
+    )
 
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 4)
@@ -125,13 +165,26 @@ def sphere_case(jax, jnp, n, b, maxinner):
     # per-iteration FLOPs: hardware MXU passes (bf16x3 = 3 passes of the
     # logical [B, n] x [n, n] matmul) + VPU elementwise
     hw_flops_per_iter = 6.0 * b * n * n + 40.0 * b * n
-    return trips, calls_per_s, iters_per_s, hw_flops_per_iter
+    # empirical denominator: bare chain at the kernel's own block shape
+    # (the sphere wrapper grids lane blocks of <= 64)
+    bb = b if b <= 64 else min(max_batched_block(n), 64)
+    grid = -(-b // bb)
+    v0 = grads[:bb] + 0.1
+    chain_iters_s = bare_chain_rate(jax, jnp, z, v0, "high", True)
+    pct_chain = 100.0 * (iters_per_s * grid) / chain_iters_s
+    return trips, calls_per_s, iters_per_s, hw_flops_per_iter, {
+        "bare_chain_iters_per_s": round(chain_iters_s, 1),
+        "block_lanes": bb,
+        "grid_blocks": grid,
+        "pct_of_bare_matvec_chain": round(pct_chain, 1),
+    }
 
 
 def stiefel_case(jax, jnp, n, b, p, maxinner):
     from riptrm_tpu.ops.pallas_kernels import (
         _stiefel_bound_pieces,
         pallas_tcg_stiefel_bound_batched,
+        stiefel_lane_block,
     )
 
     key = jax.random.PRNGKey(1)
@@ -184,11 +237,22 @@ def stiefel_case(jax, jnp, n, b, p, maxinner):
 
     iters_per_s, calls_per_s, trips = _measure_chain(make_chain)
     bp = b * p
-    # conservative model: the bf16x3 matvec only (the HIGHEST-precision
-    # [Bp, Bp] lane contractions are counted as overhead, so %peak is a
-    # lower bound)
-    hw_flops_per_iter = 6.0 * bp * n * n
-    return trips, calls_per_s, iters_per_s, hw_flops_per_iter
+    # HIGHEST matvec = bf16x6 passes of [n, n] x [n, Bp]; the masked
+    # [Bpb, Bpb] per-block contractions are counted as overhead (so both
+    # %columns are lower bounds on kernel quality)
+    hw_flops_per_iter = 12.0 * bp * n * n
+    bb = stiefel_lane_block(n, p, b)
+    grid = -(-b // bb)
+    bpb = bb * p
+    v0 = jnp.transpose(grads[:bb], (1, 0, 2)).reshape(n, bpb) + 0.1
+    chain_iters_s = bare_chain_rate(jax, jnp, z, v0, "highest", False)
+    pct_chain = 100.0 * (iters_per_s * grid) / chain_iters_s
+    return trips, calls_per_s, iters_per_s, hw_flops_per_iter, {
+        "bare_chain_iters_per_s": round(chain_iters_s, 1),
+        "block_lanes": bb,
+        "grid_blocks": grid,
+        "pct_of_bare_matvec_chain": round(pct_chain, 1),
+    }
 
 
 def main(argv=None):
@@ -206,27 +270,19 @@ def main(argv=None):
     jax = setup(x64=False)
     import jax.numpy as jnp
 
-    def make_row(kernel, n, lanes, trips, calls_s, iters_s, hw_flops_iter,
-                 **extra):
+    def make_row(kernel, n, trips, calls_s, iters_s, hw_flops_iter, **extra):
         # achieved = HARDWARE MXU FLOPs (bf16 passes) from ACTUAL iteration
-        # counts; pct_bf16x3_peak (logical f32-equivalent FLOPs = hw/3
-        # against the 3-pass effective peak) equals pct_bf16_peak by
-        # construction, so only the hardware ratio is reported, plus the
-        # row-fill-adjusted utilization (a [lanes, n] operand fills only
-        # min(lanes, 128) of the MXU's 128 systolic rows).
+        # counts, stated raw against the chip peak; utilization vs the
+        # measured bare-chain denominator arrives via **extra (see module
+        # docstring for the model — no derived fill-cap columns).
         achieved = iters_s * hw_flops_iter
-        fill = min(lanes, 128) / 128
-        pct = 100 * achieved / PEAK_BF16
         row = {
             "kernel": kernel, "n": n,
             "mean_tcg_iters_per_call": round(trips, 1),
             "kernel_calls_per_s": round(calls_s, 1),
             "tcg_iters_per_s": round(iters_s, 1),
             "achieved_hw_tflops": round(achieved / 1e12, 2),
-            "effective_f32_tflops": round(achieved / 3e12, 2),
-            "pct_bf16_peak": round(pct, 2),
-            "mxu_row_fill_cap_pct": round(100 * fill, 1),
-            "pct_of_rowfill_adjusted_peak": round(pct / fill, 1),
+            "pct_bf16_peak": round(100 * achieved / PEAK_BF16, 2),
         }
         row.update(extra)
         return row
@@ -234,23 +290,23 @@ def main(argv=None):
     rows = []
     for n in args.sizes:
         for b in args.batches:
-            trips, calls_s, iters_s, hw_fpi = sphere_case(
+            trips, calls_s, iters_s, hw_fpi, extra = sphere_case(
                 jax, jnp, n, b, args.maxinner
             )
             rows.append(make_row(
-                "tcg_sphere_batched", n, b, trips, calls_s, iters_s, hw_fpi,
-                B=b,
+                "tcg_sphere_batched", n, trips, calls_s, iters_s, hw_fpi,
+                B=b, **extra,
             ))
             print(json.dumps(rows[-1]), flush=True)
 
     for b in args.batches:
         bp = b * args.stiefel_p
-        trips, calls_s, iters_s, hw_fpi = stiefel_case(
+        trips, calls_s, iters_s, hw_fpi, extra = stiefel_case(
             jax, jnp, args.stiefel_n, b, args.stiefel_p, args.maxinner
         )
         rows.append(make_row(
-            "tcg_stiefel_batched", args.stiefel_n, bp, trips, calls_s,
-            iters_s, hw_fpi, B=b, p=args.stiefel_p, lanes_Bp=bp,
+            "tcg_stiefel_batched", args.stiefel_n, trips, calls_s,
+            iters_s, hw_fpi, B=b, p=args.stiefel_p, lanes_Bp=bp, **extra,
         ))
         print(json.dumps(rows[-1]), flush=True)
     if args.out:

@@ -549,6 +549,76 @@ def tcg_sphere_quadratic(maxinner, mininner=1, theta=1.0, kappa=0.1):
     return tcg
 
 
+def _bare_chain_kernel(z_ref, v_ref, out_ref, *, n_iters, precision, left):
+    """K normalized matvec passes and NOTHING else — the empirical
+    speed-of-light denominator for the roofline's utilization column
+    (``experiment/roofline.py``).  A derived B/128 row-fill "adjusted
+    peak" model measured 117% at B=16 (round-3 roofline artifact): the
+    linear fill cap is not a real upper bound for skinny MXU operands, so
+    utilization is instead stated against THIS measured chain, which
+    shares the tCG kernels' exact matvec shape, precision and VMEM
+    residency.  ``left``: v [rows, n] @ Z (sphere layout) vs
+    Z @ v [n, cols] (stiefel layout).  ``precision`` 'high' is hand-rolled
+    bf16x3 exactly as the sphere tCG kernel does it (Mosaic lowers only
+    DEFAULT and HIGHEST dots); 'highest'/'default' pass through."""
+    z = z_ref[:]
+    hand_rolled_high = precision == "high"
+    if hand_rolled_high:
+        z_hi = z.astype(jnp.bfloat16)
+        z_lo = (z - z_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        prec = jax.lax.Precision.DEFAULT
+    else:
+        prec = {
+            "highest": jax.lax.Precision.HIGHEST,
+            "default": jax.lax.Precision.DEFAULT,
+        }[precision]
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            precision=prec, preferred_element_type=jnp.float32,
+        )
+
+    def body(_, v):
+        if hand_rolled_high:
+            v_hi = v.astype(jnp.bfloat16)
+            v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            if left:
+                w = mm(v_hi, z_hi) + mm(v_hi, z_lo) + mm(v_lo, z_hi)
+            else:
+                w = mm(z_hi, v_hi) + mm(z_lo, v_hi) + mm(z_hi, v_lo)
+        else:
+            w = mm(v, z) if left else mm(z, v)
+        axis = 1 if left else 0
+        nrm = jnp.sqrt(jnp.sum(w * w, axis=axis, keepdims=True) + 1e-30)
+        return w / nrm
+
+    out_ref[:] = jax.lax.fori_loop(0, n_iters, body, v_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "precision", "left"))
+def bare_matvec_chain(zs, v0, n_iters: int, precision: str = "high",
+                      left: bool = True):
+    """VMEM-resident chain of ``n_iters`` batched matvec passes.
+
+    ``precision``: 'high' (bf16x3, the sphere tCG matvec scheme) or
+    'highest' (bf16x6, the stiefel scheme).  ``left`` selects the
+    orientation (see ``_bare_chain_kernel``).  Returns the final
+    normalized iterate; throughput is measured by the caller's marginal
+    timing between two chain lengths.
+    """
+    kern = functools.partial(
+        _bare_chain_kernel, n_iters=n_iters, precision=precision, left=left
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(v0.shape, jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=_BATCHED_COMPILER_PARAMS,
+    )(zs.astype(jnp.float32), v0.astype(jnp.float32))
+
+
 def _chain_hbm_kernel(
     corr_ref, z_hbm, x_ref, w_ref, v0_ref, out_ref, *, n_iters, block
 ):
@@ -737,6 +807,28 @@ def fits_in_vmem_stiefel(n: int, b: int, p: int, dtype_bytes: int = 4) -> bool:
     )
 
 
+def stiefel_lane_block(n: int, p: int, b: int) -> int:
+    """Lanes per grid block for the GRIDDED stiefel tCG kernel.
+
+    The per-block cross-lane contractions (masked [bpb, bpb] matmuls in
+    ``proj``/``lane_sum``/``dot`` and the ``V S`` block-diagonal product)
+    cost O(n * bpb^2) per tCG iteration vs the shared Z matvec's
+    O(n^2 * bpb).  Unblocked, bpb = B*p grows with the sweep width and the
+    quadratic term swamps the matvec once bpb > n — measured round 3 as
+    aggregate ANTI-scaling, 4.67 -> 2.76 -> 1.52 TFLOP/s at B=16/64/128
+    (n=128, p=8).  Capping the block at bpb ~ max(128, n) columns keeps
+    contraction cost at most ~matvec cost while still filling the MXU's
+    128 lanes; blocks run sequentially over a 1-D grid sharing one
+    VMEM-resident Z window (same scheme as the sphere kernel's 64-lane
+    blocks).  Shrinks by halves if a block would bust the VMEM budget.
+    """
+    bpb_cap = max(128, min(n, 512))
+    bb = max(1, bpb_cap // p)
+    while bb > 1 and not fits_in_vmem_stiefel(n, bb, p):
+        bb //= 2
+    return min(bb, b)
+
+
 def _tcg_kernel_stiefel(
     radius_ref, target_ref, flag_ref, d_ref, z_ref, x_ref, w_ref, s_ref,
     g_ref, eta_ref, heta_ref, stats_ref,
@@ -744,15 +836,17 @@ def _tcg_kernel_stiefel(
 ):
     """Entire batched Steihaug-Toint tCG for the stiefel_bound structure.
 
+    Shapes are PER GRID BLOCK (bb lanes, Bp = bb*p columns):
     radius/target/flag: [1, Bp] lane-constant rows; d: [1, Bp] Brockett
-    weights tiled per lane; z: [n, n]; x/w/g: [n, Bp] flattened lane
-    frames; s: [Bp, Bp] block-diagonal per-lane curvature sym(X'E).  Outputs eta/heta [n, Bp] and stats [2, Bp] int32
-    (iterations, stop code — same codes as ops/tcg.py).
+    weights tiled per lane; z: [n, n] (constant window across blocks);
+    x/w/g: [n, Bp] flattened lane frames; s: [1, Bp, Bp] block-diagonal
+    per-lane curvature sym(X'E).  Outputs eta/heta [n, Bp] and stats
+    [2, Bp] int32 (iterations, stop code — same codes as ops/tcg.py).
     """
     x = x_ref[:]
     w = w_ref[:]
     grad = g_ref[:]
-    sblk = s_ref[:]
+    sblk = s_ref[0]
     drow = d_ref[:]
     radius = radius_ref[:]
     target = target_ref[:]
@@ -886,57 +980,97 @@ def _tcg_kernel_stiefel(
     stats_ref[:] = jnp.concatenate([out[9], out[10]], axis=0).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("maxinner", "mininner"))
+@functools.partial(jax.jit, static_argnames=("maxinner", "mininner",
+                                             "lane_block"))
 def pallas_tcg_stiefel_bound_batched(
     zs, d, xs, ws, ss, grads, radii, *, maxinner, mininner=1, theta=1.0,
-    kappa=0.1
+    kappa=0.1, lane_block=None
 ):
-    """Batched fused tCG for the stiefel_bound structure.
+    """Batched fused tCG for the stiefel_bound structure, GRIDDED over
+    lane blocks.
 
     d: [p] Brockett cost weights (shared across lanes); xs/ws/grads:
     [B, n, p]; ss: [B, p, p] per-lane sym(X'E); radii: [B].
     Returns (etas [B, n, p], Hetas [B, n, p], iterations [B], codes [B]).
+
+    Lane blocks of ``lane_block`` lanes (default ``stiefel_lane_block`` —
+    bpb ~ max(128, n) columns) run sequentially over a 1-D grid with Z's
+    block index constant, so the pipeline loads Z once and re-uses the
+    window; each block's [bpb, bpb] cross-lane contractions stay bounded,
+    restoring linear aggregate scaling in B (round-3 whole-batch
+    anti-scaled ~1/B past bpb > n — see ``stiefel_lane_block``).  Bonus:
+    the while_loop runs to each BLOCK's slowest lane rather than the
+    whole sweep's, so mixed-depth sweeps waste less lockstep work.
     """
     b, n, p = xs.shape
-    bp = b * p
-    flat = lambda a: jnp.transpose(a.astype(jnp.float32), (1, 0, 2)).reshape(n, bp)
-    unflat = lambda a: jnp.transpose(a.reshape(n, b, p), (1, 0, 2))
-    x_f, w_f, g_f = flat(xs), flat(ws), flat(grads)
-    sblk = jax.scipy.linalg.block_diag(*[ss[i].astype(jnp.float32) for i in range(b)])
-    norm_r0 = jnp.sqrt(jnp.sum(grads.astype(jnp.float32) ** 2, axis=(1, 2)))
+    bb = stiefel_lane_block(n, p, b) if lane_block is None else min(lane_block, b)
+    pad = -b % bb
+    grid = (b + pad) // bb
+    bt = b + pad
+    bp = bt * p
+    bpb = bb * p
+
+    pad_b = lambda a: jnp.pad(
+        a.astype(jnp.float32), ((0, pad),) + ((0, 0),) * (a.ndim - 1),
+        mode="edge",
+    )
+    xs32, ws32, gs32, ss32 = pad_b(xs), pad_b(ws), pad_b(grads), pad_b(ss)
+    radii_p = pad_b(jnp.broadcast_to(radii, (b,)))
+    flat = lambda a: jnp.transpose(a, (1, 0, 2)).reshape(n, bp)
+    x_f, w_f, g_f = flat(xs32), flat(ws32), flat(gs32)
+    # Per-grid-step block diagonals [grid, bpb, bpb] built by eye-broadcast
+    # (a python block_diag loop of B scatters compiled pathologically and
+    # bound the wrapper to whole-batch shapes).
+    eye_bb = jnp.eye(bb, dtype=jnp.float32)
+    sblk = jax.vmap(
+        lambda sg: (eye_bb[:, None, :, None] * sg[:, :, None, :]).reshape(
+            bpb, bpb
+        )
+    )(ss32.reshape(grid, bb, p, p))
+    norm_r0 = jnp.sqrt(jnp.sum(gs32[:b] ** 2, axis=(1, 2)))
     target = norm_r0 * jnp.minimum(norm_r0**theta, kappa)
     linear_flag = (kappa < norm_r0**theta).astype(jnp.float32)
     lane_row = lambda v: jnp.repeat(
-        v.astype(jnp.float32), p, total_repeat_length=bp
+        pad_b(v), p, total_repeat_length=bp
     ).reshape(1, bp)
     kern = functools.partial(
         _tcg_kernel_stiefel, maxinner=maxinner, mininner=mininner, p=p
     )
+    row_blk = pl.BlockSpec((1, bpb), lambda i: (0, i))
+    col_blk = pl.BlockSpec((n, bpb), lambda i: (0, i))
     etas, hetas, stats = pl.pallas_call(
         kern,
+        grid=(grid,),
         out_shape=(
             jax.ShapeDtypeStruct((n, bp), jnp.float32),
             jax.ShapeDtypeStruct((n, bp), jnp.float32),
             jax.ShapeDtypeStruct((2, bp), jnp.int32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ),
+        in_specs=[
+            row_blk,  # radius
+            row_blk,  # target
+            row_blk,  # linear flag
+            row_blk,  # d (tiled per lane)
+            pl.BlockSpec((n, n), lambda i: (0, 0)),  # Z: constant window
+            col_blk,  # x
+            col_blk,  # w
+            pl.BlockSpec((1, bpb, bpb), lambda i: (i, 0, 0)),  # s block-diag
+            col_blk,  # grad
+        ],
+        out_specs=(col_blk, col_blk, pl.BlockSpec((2, bpb), lambda i: (0, i))),
         compiler_params=_BATCHED_COMPILER_PARAMS,
     )(
-        lane_row(jnp.broadcast_to(radii, (b,))),
+        lane_row(radii_p),
         lane_row(target),
         lane_row(linear_flag),
-        jnp.tile(d.astype(jnp.float32), b).reshape(1, bp),
+        jnp.tile(d.astype(jnp.float32), bt).reshape(1, bp),
         zs.astype(jnp.float32),
         x_f, w_f, sblk, g_f,
     )
+    unflat = lambda a: jnp.transpose(a.reshape(n, bt, p), (1, 0, 2))[:b]
     return (
         unflat(etas), unflat(hetas),
-        stats[0].reshape(b, p)[:, 0], stats[1].reshape(b, p)[:, 0],
+        stats[0].reshape(bt, p)[:b, 0], stats[1].reshape(bt, p)[:b, 0],
     )
 
 
@@ -959,10 +1093,11 @@ def tcg_stiefel_bound(maxinner, mininner=1, theta=1.0, kappa=0.1):
     Returns ``tcg(zs, d, x, y, c, grad, radius)`` -> (eta, Heta, iters,
     code), with ``d`` the [p] Brockett cost weights;
     under ``jax.vmap`` (batched multi-start sweeps) the rule routes to the
-    batched kernel with Zs loaded into VMEM once and shared across lanes —
-    the same custom_vmap shared-data routing as ``tcg_sphere_quadratic``.
-    Falls back to a sequential ``lax.map`` of B=1 kernel calls when Z
-    itself carries a batch axis or the batch exceeds the VMEM budget.
+    batched GRIDDED kernel with Zs loaded into VMEM once and shared across
+    lane blocks — the same custom_vmap shared-data routing as
+    ``tcg_sphere_quadratic``.  Falls back to a sequential ``lax.map`` of
+    B=1 kernel calls only when Z itself carries a batch axis or a single
+    lane exceeds the VMEM budget.
     """
     from jax import custom_batching
 
@@ -990,7 +1125,10 @@ def tcg_stiefel_bound(maxinner, mininner=1, theta=1.0, kappa=0.1):
 
         xs, ys, cs, gs = bc(x, xb), bc(y, yb), bc(c, cb), bc(grad, gb)
         radii = bc(jnp.asarray(radius, jnp.float32), rb)
-        if zb or db or not fits_in_vmem_stiefel(n, axis_size, p):
+        # The gridded wrapper handles any B by lane-blocking; the map
+        # fallback remains only for per-lane Z/d (cannot share the VMEM
+        # window) or a single lane busting the budget.
+        if zb or db or not fits_in_vmem_stiefel(n, 1, p):
             out = jax.lax.map(
                 lambda args: one(*args),
                 (bc(zs, zb), bc(d, db), xs, ys, cs, gs, radii),

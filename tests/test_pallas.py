@@ -280,6 +280,61 @@ def test_stiefel_tcg_batched_interpret(stiefel_setup):
     )
 
 
+def test_stiefel_tcg_gridded_multiblock_interpret(stiefel_setup):
+    """The gridded stiefel wrapper with a multi-block grid (lane_block=2,
+    B=5 -> 3 blocks with 1 padded lane) matches the B-at-once result —
+    blocking + edge padding must not change any lane's trajectory."""
+    from riptrm_tpu.ops import pallas_kernels as pk
+    from riptrm_tpu.problems import bounded_pca
+
+    problem, _ = stiefel_setup
+    man = problem.manifold
+    n, p = man.n, man.p
+    m = problem.num_ineq
+    B = 5
+    xs = jnp.stack([
+        jnp.asarray(
+            bounded_pca.generate_initialpoint(jax.random.PRNGKey(40 + i), n, p),
+            jnp.float32,
+        )
+        for i in range(B)
+    ])
+    ys = 0.5 + jnp.abs(
+        jax.random.normal(jax.random.PRNGKey(41), (B, m), dtype=jnp.float32)
+    )
+    cs = jax.vmap(problem.slack)(xs)
+    grads, ss = [], []
+    mu = jnp.float32(0.05)
+    for i in range(B):
+        _, _, cx = _barrier_ops(problem, xs[i], ys[i], mu)
+        grads.append(cx)
+    grads = jnp.stack(grads)
+    ws, ss = jax.vmap(
+        lambda x, y, c: pk._stiefel_bound_pieces(
+            problem.structure["Zs"], problem.structure["d"], x, y, c
+        )
+    )(xs, ys, cs)
+    radii = jnp.linspace(0.2, 0.6, B).astype(jnp.float32)
+
+    def run(lane_block):
+        with _interp():
+            return pk.pallas_tcg_stiefel_bound_batched(
+                problem.structure["Zs"], problem.structure["d"], xs, ws, ss,
+                grads, radii, maxinner=man.dim, lane_block=lane_block,
+            )
+
+    eta_whole, heta_whole, it_whole, code_whole = run(B)
+    eta_grid, heta_grid, it_grid, code_grid = run(2)
+    assert (np.asarray(it_grid) == np.asarray(it_whole)).all()
+    assert (np.asarray(code_grid) == np.asarray(code_whole)).all()
+    np.testing.assert_allclose(
+        np.asarray(eta_grid), np.asarray(eta_whole), atol=1e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(heta_grid), np.asarray(heta_whole), atol=1e-4, rtol=1e-3
+    )
+
+
 def test_stiefel_solve_pallas_matches_xla():
     """Full compiled RIPTRM solve with use_pallas_tcg on BoundedPCA reaches
     the XLA path's solution at solver tolerance (small instance: the
