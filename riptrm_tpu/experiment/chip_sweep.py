@@ -200,19 +200,23 @@ def build_sweep(problem_name: str, size: int, batch: int, seed: int = 0):
 
 
 def measure_sweep(problem, xs0, ys0, option, max_steps, reps=(1, 5), tries=7,
-                  solver="RIPTRM"):
+                  solver="RIPTRM", bsolve=None):
     """Marginal-rate throughput of the batched compiled solver sweep.
 
     Returns (sec_per_sweep, residuals, compile_s, k_avg) with k_avg the
     repetition-averaged max inner-step count per sweep.  Shared harness for
     the chip-sweep CLI and the sweep tests (bench.py carries its own copy
-    tuned to its deadline/emit machinery)."""
+    tuned to its deadline/emit machinery).  ``bsolve`` overrides the solver
+    construction with a prebuilt (xs, ys) -> (states, ks, res) callable
+    (the staged-precision path builds its own two-phase program)."""
     import jax
     import jax.numpy as jnp
 
     from riptrm_tpu.parallel.sweep import batched_riptrm_solve, batched_solver_sweep
 
-    if solver == "RIPTRM":
+    if bsolve is not None:
+        pass
+    elif solver == "RIPTRM":
         bsolve = batched_riptrm_solve(problem, option, max_steps=max_steps)
     else:
         inner = batched_solver_sweep(problem, solver, option, max_steps=max_steps)
@@ -310,6 +314,17 @@ def main(argv=None):
                              "inner loop cannot satisfy the complementarity "
                              "criterion at 'high'-class matvec noise — "
                              "'high' for everything else)")
+    parser.add_argument("--staged-precision", action="store_true",
+                        help="two-phase staged matvec precision (RIPTRM + "
+                             "NonnegPCA): phase 1 runs the 'high' (bf16x3) "
+                             "program to its f32 floor, phase 2 CONTINUES "
+                             "all lanes under a 'highest' (bf16x6) program "
+                             "with 10x tighter forcing floors and "
+                             "--staged-tolresid; reports both phases' "
+                             "residuals (floor-chasing mode, VERDICT r3 "
+                             "item 5)")
+    parser.add_argument("--staged-tolresid", type=float, default=3e-6,
+                        help="phase-2 residual target for --staged-precision")
     parser.add_argument("--stall-window", type=int, default=None,
                         help="freeze a sweep lane whose best residual has "
                              "not improved 1%% in this many steps (lockstep "
@@ -348,6 +363,16 @@ def main(argv=None):
             "solvers ignore those options, and reporting mode='exact' for "
             "them would fabricate benchmark rows"
         )
+    if args.staged_precision and (
+        args.solver != "RIPTRM" or args.exact or args.pallas
+        or args.problem != "NonnegPCA"
+    ):
+        parser.error(
+            "--staged-precision is the RIPTRM tCG NonnegPCA floor-chasing "
+            "mode (phase 2 rebuilds the problem at matmul_precision="
+            "'highest'; other problems take precision from the global flag "
+            "and the Pallas kernels hard-code their schemes)"
+        )
 
     import jax
 
@@ -385,13 +410,59 @@ def main(argv=None):
         option["quadoptim_linear_solver"] = args.rsqo_linear_solver
     if args.stall_window is not None:
         option["sweep_stall_window"] = args.stall_window
+    staged_extra = {}
+    bsolve = None
+    if args.staged_precision:
+        from riptrm_tpu.problems import nonneg_pca
+        from riptrm_tpu.parallel.sweep import staged_precision_riptrm_solve
+
+        # Phase 2: same instance (structure carries the symmetrized Zs,
+        # and cost/grad only ever use Zs) rebuilt with 6-pass matvecs,
+        # floors dropped 10x, and a stall guard so floor-stalled lanes
+        # don't burn the full budget in lockstep.
+        problem_hi = nonneg_pca.make_problem(
+            problem.structure["Zs"], np.asarray(xs0[0]),
+            dtype=jnp.float32, matmul_precision="highest",
+        )
+        compl_floor_hi = compl_floor / 10.0
+        option_hi = option | {
+            "tolresid": args.staged_tolresid,
+            "forcing_function_Lagrangian": lambda mu: jnp.maximum(mu, 1e-5),
+            "forcing_function_complementarity": (
+                lambda mu: jnp.maximum(1e-3 * mu, compl_floor_hi)
+            ),
+            "sweep_stall_window": option.get("sweep_stall_window", 25),
+        }
+        staged = staged_precision_riptrm_solve(
+            problem, problem_hi, option, option_hi, args.max_steps
+        )
+
+        def bsolve(xs, ys):
+            st, ks, res2, res1 = staged(xs, ys)
+            return st, ks, res2
+
+        # one un-timed call for the phase-1 floor report
+        _, _, res2_probe, res1_probe = jax.tree.map(
+            np.asarray, retry_transient(
+                lambda: staged(xs0, ys0), label="chip_sweep.staged_probe"
+            )
+        )
+        staged_extra = {
+            "phase1_median_residual": float(np.median(res1_probe)),
+            "phase1_max_residual": float(np.max(res1_probe)),
+            "floor_improvement_x": round(
+                float(np.median(res1_probe) / max(np.median(res2_probe),
+                                                 1e-30)), 1
+            ),
+        }
+
     # Transient-failure guard (VERDICT r3 item 1): the TPU worker crashes
     # and self-recovers in ~30 s; absorb up to two such windows instead of
     # recording an error row for a flake.
     per_sweep, res, compile_s, _ = retry_transient(
         lambda: measure_sweep(
             problem, xs0, ys0, option, max_steps=args.max_steps,
-            solver=args.solver,
+            solver=args.solver, bsolve=bsolve,
         ),
         label="chip_sweep.measure",
     )
@@ -400,7 +471,11 @@ def main(argv=None):
         "size": args.size,
         "batch": args.batch,
         "solver": args.solver,
-        "mode": "exact" if args.exact else "tCG",
+        "mode": (
+            "staged_precision" if args.staged_precision
+            else "exact" if args.exact else "tCG"
+        ),
+        **staged_extra,
         **(
             {"rsqo_linear_solver": args.rsqo_linear_solver}
             if args.solver == "RSQO"

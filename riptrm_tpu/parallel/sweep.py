@@ -107,6 +107,66 @@ def batched_riptrm_solve(problem, option, max_steps: int):
     return jax.jit(jax.vmap(one))
 
 
+def batched_riptrm_continue(problem, option, max_steps: int):
+    """vmapped compiled RIPTRM solve CONTINUING from prior final states.
+
+    Phase 2 of a staged-precision sweep (VERDICT r3 item 5): re-enters the
+    compiled solve at each lane's frozen (x, y, mu, tr) so the barrier
+    schedule resumes where phase 1 stalled, with the outer/inner counters
+    and the inner-reset anchors re-seeded (phase 1 typically spent part of
+    its ``maxiter`` budget; the continuation gets a fresh budget plus its
+    own — typically tighter — tolerances and forcing floors from
+    ``option``).  The exact-mode Hw cache is invalidated: the new
+    program's matvec precision changes the materialization.
+    """
+    solver = RIPTRM(_batched_exact_defaults(option))
+    _warn_vmapped_lanczos(solver.option)
+    solve = solver.solve_compiled(problem, max_steps)
+
+    def one(st):
+        st = st._replace(
+            outer_iter=jnp.asarray(0),
+            inner_count=jnp.asarray(0),
+            inner_x0=st.x,
+            inner_y0=st.y,
+            inner_tr0=st.tr_radius,
+            cache_valid=jnp.asarray(False),
+        )
+        state, k = solve(st)
+        res = compute_residual(problem, state.x, state.y, jnp.zeros((0,)))[0]
+        return state, k, res
+
+    return jax.jit(jax.vmap(one))
+
+
+def staged_precision_riptrm_solve(problem_lo, problem_hi, option_lo,
+                                  option_hi, max_steps: int):
+    """Two-phase staged-matvec-precision batched solve, ONE jit program.
+
+    Phase 1 runs the cheap-matvec program (``problem_lo``, e.g. bf16x3
+    'high') to its f32 residual floor; phase 2 CONTINUES every lane under
+    the expensive-matvec program (``problem_hi``, e.g. bf16x6 'highest')
+    with the tighter tolerances/floors of ``option_hi``.  This is the
+    TPU-correct form of "escalate matvec precision once mu is small":
+    in-graph mu-gating is useless for batched sweeps — vmap turns
+    ``lax.cond`` into ``select`` so BOTH precision branches would execute
+    every step (CLAUDE.md batching economics) — while phase-splitting
+    pays the 2x matvec passes only for the late-mu steps that need them.
+
+    Returns solve(xs0, ys0) -> (final states, per-lane total steps,
+    final residuals, phase-1 residuals).
+    """
+    s1 = batched_riptrm_solve(problem_lo, option_lo, max_steps)
+    s2 = batched_riptrm_continue(problem_hi, option_hi, max_steps)
+
+    def run(xs0, ys0):
+        st1, k1, res1 = s1(xs0, ys0)
+        st2, k2, res2 = s2(st1)
+        return st2, k1 + k2, res2, res1
+
+    return jax.jit(run)
+
+
 def sharded_riptrm_solve(problem, option, max_steps: int, mesh: Mesh, axis: str = "dp"):
     """shard_map of the vmapped solve over a mesh axis.
 

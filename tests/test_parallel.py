@@ -47,6 +47,40 @@ def test_vmapped_sweep_converges(setup):
     np.testing.assert_allclose(xnorms, 1.0, atol=1e-10)
 
 
+def test_staged_precision_sweep_deepens_floor(setup):
+    """Two-phase staged-precision solve (VERDICT r3 item 5): phase 2
+    continues phase-1 final states under a tighter-floor program and must
+    reach a strictly deeper residual on every lane, without breaking the
+    manifold invariant."""
+    from riptrm_tpu.parallel.sweep import staged_precision_riptrm_solve
+
+    problem, xs, ys = setup
+    opt1 = OPTION | {
+        "tolresid": 3e-4,
+        "forcing_function_Lagrangian": lambda mu: jnp.maximum(mu, 1e-4),
+        "forcing_function_complementarity": (
+            lambda mu: jnp.maximum(1e-3 * mu, 2e-4)
+        ),
+    }
+    opt2 = OPTION | {
+        "tolresid": 1e-6,
+        "forcing_function_Lagrangian": lambda mu: jnp.maximum(mu, 1e-6),
+        "forcing_function_complementarity": (
+            lambda mu: jnp.maximum(1e-3 * mu, 2e-6)
+        ),
+        "sweep_stall_window": 25,
+    }
+    staged = staged_precision_riptrm_solve(problem, problem, opt1, opt2, 300)
+    states, ks, res2, res1 = staged(xs, ys)
+    res1, res2 = np.asarray(res1), np.asarray(res2)
+    assert res1.shape == res2.shape == (BATCH,)
+    assert np.all(res1 < 1e-3)  # phase 1 reached its own loose target
+    assert np.all(res2 < res1)  # phase 2 strictly deepened every lane
+    assert np.median(res2) < np.median(res1) / 10  # and not marginally
+    xnorms = np.linalg.norm(np.asarray(states.x), axis=1)
+    np.testing.assert_allclose(xnorms, 1.0, atol=1e-6)
+
+
 def test_sharded_sweep_matches_vmap(setup):
     problem, xs, ys = setup
     assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
