@@ -257,7 +257,8 @@ def maybe_wandb_finish(option: dict):
 
 
 def compiled_best_while(step1, state0, target, max_steps, best0,
-                        stall_window=None, stall_rtol=1e-2):
+                        stall_window=None, stall_rtol=1e-2,
+                        track_best_state=False):
     """THE shared compiled solve loop for all four solvers (the
     freeze-when-done, NaN-robust-running-min, and per-lane-target-stop
     invariants live here and nowhere else).
@@ -280,25 +281,40 @@ def compiled_best_while(step1, state0, target, max_steps, best0,
     ~20 sufficed).  Leave None for protocol runs: plateaus there are
     legitimately escaped late (the speedrun's full-schedule semantics).
 
+    ``track_best_state`` (opt-in): carry a snapshot of the state that
+    achieved the running-best residual and RETURN it in place of the final
+    state.  RALM needs this: its KKT residual is non-monotone (the
+    clipped-multiplier/rho updates overshoot after the dip — measured on
+    NonnegPCA: dips to 3.96e-4 around the reference's protocol best, then
+    RISES to ~0.7 by the budget's end), so a sweep reporting the final
+    state reads as a 0.6-residual "stall" when the solver did reach the
+    target; the reference's own analyzers score min-within-budget
+    (analyzer.py best-residual rows).  Costs one extra state copy in the
+    carry.
+
     Returns (state, steps, done, best).
     """
     import jax as _jax
     import jax.numpy as _jnp
 
     def cond(carry):
-        st, k, done, best, since = carry
+        st, k, done, best, since, best_st = carry
         return (~done) & (k < max_steps)
 
     def body(carry):
         # Freeze per-lane state when done: under vmap the loop runs until
         # ALL lanes finish; without the freeze finished lanes would keep
         # stepping past their stopping point.
-        st, k, done, best, since = carry
+        st, k, done, best, since, best_st = carry
         new_st, res, counted, stop = step1(st)
         # strict-compare min: a NaN residual (diverged step) must not
         # poison the running best (jnp.minimum propagates NaN)
         improved = (~done) & counted & (res < best)
         best_new = _jnp.where(improved, res, best)
+        if track_best_state:
+            best_st = _jax.tree.map(
+                lambda b, n: _jnp.where(improved, n, b), best_st, new_st
+            )
         if stall_window is not None:
             big_improve = improved & (res < (1.0 - stall_rtol) * best)
             since = _jnp.where(done, since, _jnp.where(big_improve, 0, since + 1))
@@ -307,10 +323,17 @@ def compiled_best_while(step1, state0, target, max_steps, best0,
             stalled = False
         new_done = done | stop | stalled | (best_new <= target)
         st_out = _jax.tree.map(lambda o, n: _jnp.where(done, o, n), st, new_st)
-        return (st_out, k + _jnp.where(done, 0, 1), new_done, best_new, since)
+        return (
+            st_out, k + _jnp.where(done, 0, 1), new_done, best_new, since,
+            best_st,
+        )
 
     done0 = best0 <= target
-    st, k, done, best, _ = _jax.lax.while_loop(
-        cond, body, (state0, _jnp.asarray(0), done0, best0, _jnp.asarray(0))
+    # () when untracked: an always-unchanged duplicate state in the carry
+    # would not be DCE'd out of the while_loop.
+    best_st0 = state0 if track_best_state else ()
+    st, k, done, best, _, best_st = _jax.lax.while_loop(
+        cond, body,
+        (state0, _jnp.asarray(0), done0, best0, _jnp.asarray(0), best_st0),
     )
-    return st, k, done, best
+    return (best_st if track_best_state else st), k, done, best

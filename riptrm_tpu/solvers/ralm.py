@@ -55,6 +55,9 @@ def default_option():
         # solves always run at startingtolgradnorm.  False reproduces that
         # behavior; True enables the decay the algorithm intends.
         "tolgradnorm_decay_fix": False,
+        # Compiled sweeps return the BEST iterate (see solve_compiled_best);
+        # the host .run() path logs every step and is unaffected.
+        "keep_best_point": True,
         "verbosity": 0,
         "wandb_logging": False,
         "do_exit_on_error": True,
@@ -217,7 +220,15 @@ def solve_compiled_best(problem, option, max_steps: int):
     metric, seeded with the initial residual); stops early once
     ``best <= target``.  Returns solve(state, target) -> (state, steps,
     best).  The loop body is the shared ``compiled_best_while``;
-    ``solve_compiled`` delegates with target = -inf."""
+    ``solve_compiled`` delegates with target = -inf.
+
+    ``keep_best_point`` (default True): the returned state is the BEST
+    iterate, not the last — RALM's KKT residual is non-monotone (the
+    clipped-multiplier/rho updates overshoot past the dip; measured
+    NonnegPCA: 3.96e-4 dip -> 0.69 final), and the reference's analyzers
+    score best-within-budget, so final-state reporting misread RALM as
+    "stalled at 0.62" on chip sweeps (VERDICT r3 item 6).  Set False for
+    strict last-iterate semantics."""
     from riptrm_tpu.ops.kkt import compute_residual
     from riptrm_tpu.solvers.base import compiled_best_while, merge_options
 
@@ -226,6 +237,7 @@ def solve_compiled_best(problem, option, max_steps: int):
     tolresid = option["tolresid"]
     maxiter = option["maxiter"]
     unbd = option["LagmultUnbdUpdate"]
+    keep_best = option.get("keep_best_point", True)
 
     def residual(st):
         y_eval = st.y_unbd if unbd else st.y
@@ -241,6 +253,7 @@ def solve_compiled_best(problem, option, max_steps: int):
         st, k, _, best = compiled_best_while(
             step1, state, target, min(max_steps, maxiter), residual(state),
             stall_window=option.get("sweep_stall_window"),
+            track_best_state=keep_best,
         )
         return st, k, best
 

@@ -345,10 +345,11 @@ def test_checkpointed_sweep_sharded(setup, tmp_path):
 @pytest.mark.parametrize("solver_name", ["RIPM", "RSQO", "RALM"])
 def test_batched_solver_sweep_baselines(setup, solver_name):
     """The generic batched sweep drives all four solvers.  RIPM/RSQO
-    converge lane-wise; RALM legitimately stalls on this random instance
-    (its inner tolerance never decays — reference-parity behavior, see
-    solvers/ralm.py), so its lanes must match the HOST runner's stalled
-    residual instead of an absolute tolerance."""
+    converge lane-wise; RALM's last iterate legitimately oscillates to
+    ~0.7 on this random instance, but the sweep reports its BEST iterate
+    (keep_best_point, solvers/ralm.py), which must match the HOST
+    runner's best-within-budget residual — the reference analyzers'
+    metric."""
     from riptrm_tpu.parallel.sweep import batched_solver_sweep
 
     problem, xs, ys = setup
@@ -359,19 +360,38 @@ def test_batched_solver_sweep_baselines(setup, solver_name):
     if solver_name == "RALM":
         from riptrm_tpu.solvers.ralm import RALM
 
-        # The stall value is reached by ~iter 50 and is stationary from
-        # there (residual transiently dips near iter 30 before the
-        # multiplier/penalty oscillation settles).
-        out = RALM({"maxiter": 50, "tolresid": 1e-5, "maxtime": 120}).run(
+        out = RALM({"maxiter": 200, "tolresid": 1e-5, "maxtime": 120}).run(
             problem
         )
-        np.testing.assert_allclose(
-            np.asarray(res), out.log["residual"][-1], rtol=1e-3
-        )
+        host_best = min(out.log["residual"])
+        # Sweep lanes start from random points (xs), the host from
+        # problem.x0; the dip depth is point-dependent, so compare at
+        # order-of-magnitude tolerance.
+        assert np.all(np.asarray(res) < 10 * host_best)
+        assert np.all(np.asarray(res) < 1e-2)
     else:
         assert np.all(np.asarray(res) < 1e-5), np.asarray(res)
     xnorms = np.linalg.norm(np.asarray(x_f), axis=1)
     np.testing.assert_allclose(xnorms, 1.0, atol=1e-8)
+
+
+def test_ralm_sweep_returns_best_point(setup):
+    """RALM's KKT residual is non-monotone (clipped-multiplier/rho updates
+    overshoot after the dip); the compiled sweep must hand back the BEST
+    iterate (VERDICT r3 item 6 — final-state reporting misread RALM as
+    stalled at ~0.6).  keep_best_point=False preserves the old
+    last-iterate semantics."""
+    from riptrm_tpu.parallel.sweep import batched_solver_sweep
+
+    problem, xs, ys = setup
+    opt = {"maxiter": 40, "tolresid": 1e-7}
+    _, _, _, res_best = batched_solver_sweep(problem, "RALM", opt, 40)(xs, ys)
+    _, _, _, res_last = batched_solver_sweep(
+        problem, "RALM", opt | {"keep_best_point": False}, 40
+    )(xs, ys)
+    res_best, res_last = np.asarray(res_best), np.asarray(res_last)
+    assert np.all(res_best < 1e-2)  # the dip is reachable and reported
+    assert np.all(res_best <= res_last + 1e-12)
 
 
 def test_batched_protocol_sweep_time_to_target(setup):
