@@ -118,7 +118,12 @@ def batched_riptrm_continue(problem, option, max_steps: int):
     own — typically tighter — tolerances and forcing floors from
     ``option``).  The exact-mode Hw cache is invalidated: the new
     program's matvec precision changes the materialization.
+
+    The continuation runs with ``keep_best_point`` on (overridable): it
+    operates AT the precision floor by design, so the post-dip churn must
+    not degrade the handed-back state below the entry point.
     """
+    option = {"keep_best_point": True, **(option or {})}
     solver = RIPTRM(_batched_exact_defaults(option))
     _warn_vmapped_lanczos(solver.option)
     solve = solver.solve_compiled(problem, max_steps)

@@ -976,9 +976,19 @@ class RIPTRM:
             best0 = compute_residual(
                 problem, state.x, state.y, jnp.zeros((0,))
             )[0]
+            # keep_best_point (opt-in, default False): return the
+            # inner-converged iterate with the lowest residual instead of
+            # the final state.  Off for normal solves (the trajectory is
+            # near-monotone and the extra state carry is wasted); ON for
+            # floor-chasing continuations (staged precision), where the
+            # loop churns at the noise floor after the dip and a
+            # stall-window freeze would otherwise hand back a
+            # worse-than-entry state (measured on-chip: staged phase 2
+            # ended at 5.9e-3 with its best at <= 1.8e-4).
             return compiled_best_while(
                 step1, state, target, max_steps, best0,
                 stall_window=option.get("sweep_stall_window"),
+                track_best_state=option.get("keep_best_point", False),
             )
 
         return solve
