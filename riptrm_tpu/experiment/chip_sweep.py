@@ -343,8 +343,28 @@ def main(argv=None):
                              "BoundedPCA, Rosenbrock), where Hess g = 0 "
                              "makes the ratio-capped certificate "
                              "conservative; RIPTRM only")
+    parser.add_argument("--option", action="append", default=[],
+                        metavar="KEY=VALUE",
+                        help="extra solver option override, repeatable "
+                             "(bool/int/float parsed; e.g. --option "
+                             "KrylovIterMethod=true for RIPM's matrix-free "
+                             "CR condensed solve)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
+    option_overrides = {}
+    for kv in args.option:
+        k, _, v = kv.partition("=")
+        lv = v.lower()
+        if lv in ("true", "false"):
+            option_overrides[k] = lv == "true"
+        else:
+            try:
+                option_overrides[k] = int(v)
+            except ValueError:
+                try:
+                    option_overrides[k] = float(v)
+                except ValueError:
+                    option_overrides[k] = v
     if args.certify and (
         args.solver != "RIPTRM" or args.problem == "StableIdentification"
     ):
@@ -413,6 +433,7 @@ def main(argv=None):
         option["quadoptim_linear_solver"] = args.rsqo_linear_solver
     if args.stall_window is not None:
         option["sweep_stall_window"] = args.stall_window
+    option.update(option_overrides)
     staged_extra = {}
     bsolve = None
     if args.staged_precision:
