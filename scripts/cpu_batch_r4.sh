@@ -8,7 +8,7 @@ OUT=result/cpu_batch_r4.log
 : > "$OUT"
 
 for i in $(seq 1 960); do
-  grep -q "^DONE" result/chip_batch4_r4.jsonl.log 2>/dev/null && break
+  grep -q "^DONE" result/chip_batch5_r4.jsonl.log 2>/dev/null && break
   sleep 30
 done
 
