@@ -17,6 +17,7 @@ module is tunnel-environment infrastructure.
 
 from __future__ import annotations
 
+import sys
 import time
 from typing import Callable
 
@@ -81,10 +82,15 @@ def retry_transient(
             if on_retry is not None:
                 on_retry(attempt, exc)
             else:
+                # stderr, NOT stdout: CLI callers emit one JSON line on
+                # stdout that harnesses capture with `tail -1` — a retry
+                # notice there displaces the measurement (seen live on
+                # the round-4 d=32 RIPM job).
                 print(
                     f"[retry_transient] {label or getattr(fn, '__name__', 'fn')}: "
                     f"transient device error (attempt {attempt + 1}/{tries}), "
                     f"sleeping {sleep_s:.0f}s: {exc!r}"[:400],
+                    file=sys.stderr,
                     flush=True,
                 )
             sleep(sleep_s)
