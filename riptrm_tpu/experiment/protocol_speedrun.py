@@ -149,7 +149,11 @@ def main(argv=None):
                 try:
                     option_overrides[k] = int(v)
                 except ValueError:
-                    option_overrides[k] = float(v)
+                    try:
+                        option_overrides[k] = float(v)
+                    except ValueError:
+                        option_overrides[k] = v  # string option (e.g.
+                        # quadoptim_linear_solver=schulz)
         else:
             raise SystemExit(f"unknown arg {a}")
 
