@@ -280,6 +280,34 @@ def test_stiefel_tcg_batched_interpret(stiefel_setup):
     )
 
 
+def test_bare_matvec_chain_interpret():
+    """The roofline's empirical denominator kernel: K normalized matvec
+    passes in both orientations/precisions must match the plain jnp
+    power-iteration chain."""
+    from riptrm_tpu.ops import pallas_kernels as pk
+
+    z = jax.random.normal(jax.random.PRNGKey(0), (32, 32), jnp.float32)
+    z = z + z.T
+    for prec, left, shape, atol in [
+        ("high", True, (4, 32), 1e-2),
+        ("highest", False, (32, 8), 1e-4),
+        ("default", True, (4, 32), 1e-1),
+    ]:
+        v0 = jax.random.normal(jax.random.PRNGKey(1), shape, jnp.float32)
+        with _interp():
+            out = pk.bare_matvec_chain(z, v0, 6, prec, left)
+        ref = v0
+        axis = 1 if left else 0
+        for _ in range(6):
+            ref = ref @ z if left else z @ ref
+            ref = ref / jnp.sqrt(
+                jnp.sum(ref * ref, axis=axis, keepdims=True) + 1e-30
+            )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=atol, rtol=1e-2
+        )
+
+
 def test_stiefel_tcg_gridded_multiblock_interpret(stiefel_setup):
     """The gridded stiefel wrapper with a multi-block grid (lane_block=2,
     B=5 -> 3 blocks with 1 padded lane) matches the B-at-once result —
