@@ -42,13 +42,88 @@ def _cpu_device():
     return local_cpu()
 
 
-def build_sweep(problem_name: str, size: int, batch: int, seed: int = 0):
+# ----------------------------------------------------------------------
+# Generated-instance cache (VERDICT r4 item 7)
+#
+# Host-side generation dominates chip batches on the 2-vCPU host (a d=32
+# StableIdentification batch spent gen_s=1029 s against a 2 s sweep —
+# the lsq interior-start search runs 1000 CG iterations per lane).  The
+# expensive part is pure numpy payload, so it caches as one npz per
+# (problem, size, seed) keyed file; batch-stacked keys carry a ``b_``
+# prefix and a cache written at batch B serves any request with
+# batch' <= B by slicing.  The reference persists generated data the
+# same way (``dataset_generator.py:39-50`` writes CSVs under dataset/).
+# ----------------------------------------------------------------------
+def _cache_dir():
+    import os
+    import pathlib
+
+    env = os.environ.get("RIPTRM_CACHE_DIR")  # tests point this at a tmpdir
+    if env:
+        return pathlib.Path(env)
+    return pathlib.Path(__file__).resolve().parents[2] / "dataset" / "_cache"
+
+
+def _cache_load(problem_name: str, size: int, batch: int, seed: int):
+    """Return a payload dict with batch axes sliced to ``batch``, or None."""
+    d = _cache_dir()
+    if not d.is_dir():
+        return None
+    best = None
+    prefix = f"{problem_name}_s{size}_seed{seed}_b"
+    for f in d.glob(f"{prefix}*.npz"):
+        try:
+            b = int(f.stem[len(prefix):])
+        except ValueError:
+            continue
+        if b >= batch and (best is None or b < best[0]):
+            best = (b, f)
+    if best is None:
+        return None
+    with np.load(best[1]) as z:
+        return {
+            k: (z[k][:batch] if k.startswith("b_") else z[k]) for k in z.files
+        }
+
+
+def _cache_store(problem_name: str, size: int, batch: int, seed: int, payload):
+    import os
+    import tempfile
+
+    d = _cache_dir()
+    d.mkdir(parents=True, exist_ok=True)
+    path = d / f"{problem_name}_s{size}_seed{seed}_b{batch}.npz"
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            np.savez(fh, **payload)
+        os.replace(tmp, path)  # atomic: concurrent readers never see a torn file
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def build_sweep(problem_name: str, size: int, batch: int, seed: int = 0,
+                cache: bool = True):
     """Generate an instance + a stacked batch of initial points on the host.
 
     Returns (problem, xs0, ys0) where xs0/ys0 carry a leading batch axis
     (pytree leaves stacked), built OUTSIDE the CPU context so the problem's
-    arrays live on the default device.
+    arrays live on the default device.  ``cache=True`` reuses (and
+    persists) the host-generated numpy payload under ``dataset/_cache``.
     """
+    payload = _cache_load(problem_name, size, batch, seed) if cache else None
+    if payload is None:
+        payload = _generate_payload(problem_name, size, batch, seed)
+        if cache:
+            _cache_store(problem_name, size, batch, seed, payload)
+    return _build_from_payload(problem_name, size, batch, payload)
+
+
+def _generate_payload(problem_name: str, size: int, batch: int, seed: int):
+    """Host-side generation -> flat dict of numpy arrays (the cacheable
+    part).  Batch-stacked keys carry the ``b_`` prefix (axis 0 = lane)."""
     import jax
     import jax.numpy as jnp
 
@@ -73,14 +148,7 @@ def build_sweep(problem_name: str, size: int, batch: int, seed: int = 0):
                                              (batch, size)))
             )
         xs0 = xs0 / np.linalg.norm(xs0, axis=1, keepdims=True)
-        problem = nonneg_pca.make_problem(
-            z_np, xs0[0], dtype=jnp.float32, matmul_precision="high"
-        )
-        return (
-            problem,
-            jnp.asarray(xs0, jnp.float32),
-            jnp.ones((batch, size), jnp.float32),
-        )
+        return {"Z": z_np, "b_xs0": xs0}
 
     if problem_name == "StableIdentification":
         from riptrm_tpu.problems import stable_identification as si
@@ -106,15 +174,13 @@ def build_sweep(problem_name: str, size: int, batch: int, seed: int = 0):
                     sub, d, constset
                 )
                 starts.append((j_m, r_m, q_m))
-        problem = si.make_problem(
-            d, trajs, constset, starts[0], dtype=jnp.float32
-        )
-        xs0 = jax.tree.map(
-            lambda *leaves: jnp.stack([jnp.asarray(a, jnp.float32) for a in leaves]),
-            *starts,
-        )
-        ys0 = jnp.ones((batch, problem.num_ineq), jnp.float32)
-        return problem, xs0, ys0
+        return {
+            "trajs": np.stack(trajs),
+            "constset": np.asarray(constset),
+            "b_J": np.stack([s_[0] for s_ in starts]),
+            "b_R": np.stack([s_[1] for s_ in starts]),
+            "b_Q": np.stack([s_[2] for s_ in starts]),
+        }
 
     if problem_name == "Rosenbrock":
         from riptrm_tpu.problems import rosenbrock
@@ -140,9 +206,7 @@ def build_sweep(problem_name: str, size: int, batch: int, seed: int = 0):
                 key, sub = jax.random.split(jax.device_put(key, _cpu_device()))
                 v = man.random_tangent(sub, x0c)
                 starts.append(np.asarray(man.retract(x0c, 5e-3 * v)))
-        xs0 = jnp.stack([jnp.asarray(s, jnp.float32) for s in starts])
-        ys0 = jnp.ones((batch, problem.num_ineq), jnp.float32)
-        return problem, xs0, ys0
+        return {"b_xs0": np.stack(starts)}
 
     if problem_name == "BoundedPCA":
         from riptrm_tpu.problems import bounded_pca
@@ -162,10 +226,7 @@ def build_sweep(problem_name: str, size: int, batch: int, seed: int = 0):
                 bounded_pca.generate_initialpoint(ks[1 + i], size, p)
                 for i in range(batch)
             ]
-        problem = bounded_pca.make_problem(z_np, starts[0], dtype=jnp.float32)
-        xs0 = jnp.stack([jnp.asarray(s, jnp.float32) for s in starts])
-        ys0 = jnp.ones((batch, problem.num_ineq), jnp.float32)
-        return problem, xs0, ys0
+        return {"Z": z_np, "b_xs0": np.stack([np.asarray(s_) for s_ in starts])}
 
     if problem_name == "LowRank":
         from riptrm_tpu.problems import low_rank
@@ -185,18 +246,82 @@ def build_sweep(problem_name: str, size: int, batch: int, seed: int = 0):
                 low_rank.generate_initialpoint(ks[1 + i], m, n, rank)
                 for i in range(batch)
             ]
-        problem = low_rank.make_problem(a_np, starts[0], dtype=jnp.float32)
-        xs0 = jax.tree.map(
-            lambda *ls: jnp.stack([jnp.asarray(l, jnp.float32) for l in ls]),
-            *starts,
-        )
-        ys0 = jnp.ones((batch, problem.num_ineq), jnp.float32)
-        return problem, xs0, ys0
+        return {
+            "A": a_np,
+            "b_U": np.stack([s_[0] for s_ in starts]),
+            "b_S": np.stack([s_[1] for s_ in starts]),
+            "b_V": np.stack([s_[2] for s_ in starts]),
+        }
 
     raise ValueError(
         "chip_sweep supports NonnegPCA, StableIdentification, Rosenbrock, "
         f"BoundedPCA and LowRank; got {problem_name}"
     )
+
+
+def _build_from_payload(problem_name: str, size: int, batch: int, payload):
+    """Construct (problem, xs0, ys0) from a (possibly cached) payload."""
+    import jax
+    import jax.numpy as jnp
+
+    if problem_name == "NonnegPCA":
+        from riptrm_tpu.problems import nonneg_pca
+
+        xs0 = payload["b_xs0"]
+        problem = nonneg_pca.make_problem(
+            payload["Z"], xs0[0], dtype=jnp.float32, matmul_precision="high"
+        )
+        return (
+            problem,
+            jnp.asarray(xs0, jnp.float32),
+            jnp.ones((batch, size), jnp.float32),
+        )
+
+    if problem_name == "StableIdentification":
+        from riptrm_tpu.problems import stable_identification as si
+
+        d = size
+        starts = (payload["b_J"], payload["b_R"], payload["b_Q"])
+        problem = si.make_problem(
+            d, list(payload["trajs"]), payload["constset"],
+            tuple(a[0] for a in starts), dtype=jnp.float32,
+        )
+        xs0 = tuple(jnp.asarray(a, jnp.float32) for a in starts)
+        ys0 = jnp.ones((batch, problem.num_ineq), jnp.float32)
+        return problem, xs0, ys0
+
+    if problem_name == "Rosenbrock":
+        from riptrm_tpu.problems import rosenbrock
+
+        n = size
+        k = min(3, n - 1)
+        problem = rosenbrock.make_problem(n, k, dtype=jnp.float32)
+        xs0 = jnp.asarray(payload["b_xs0"], jnp.float32)
+        ys0 = jnp.ones((batch, problem.num_ineq), jnp.float32)
+        return problem, xs0, ys0
+
+    if problem_name == "BoundedPCA":
+        from riptrm_tpu.problems import bounded_pca
+
+        xs0 = payload["b_xs0"]
+        problem = bounded_pca.make_problem(
+            payload["Z"], xs0[0], dtype=jnp.float32
+        )
+        ys0 = jnp.ones((batch, problem.num_ineq), jnp.float32)
+        return problem, jnp.asarray(xs0, jnp.float32), ys0
+
+    if problem_name == "LowRank":
+        from riptrm_tpu.problems import low_rank
+
+        starts = (payload["b_U"], payload["b_S"], payload["b_V"])
+        problem = low_rank.make_problem(
+            payload["A"], tuple(a[0] for a in starts), dtype=jnp.float32
+        )
+        xs0 = tuple(jnp.asarray(a, jnp.float32) for a in starts)
+        ys0 = jnp.ones((batch, problem.num_ineq), jnp.float32)
+        return problem, xs0, ys0
+
+    raise ValueError(f"unknown problem family {problem_name}")
 
 
 def measure_sweep(problem, xs0, ys0, option, max_steps, reps=(1, 5), tries=7,
@@ -405,6 +530,9 @@ def main(argv=None):
     import jax.numpy as jnp
 
     t0 = time.time()
+    cache_hit = (
+        _cache_load(args.problem, args.size, args.batch, args.seed) is not None
+    )
     problem, xs0, ys0 = build_sweep(args.problem, args.size, args.batch, args.seed)
     gen_s = time.time() - t0
 
@@ -499,6 +627,17 @@ def main(argv=None):
             "staged_precision" if args.staged_precision
             else "exact" if args.exact else "tCG"
         ),
+        # which iterate the residual columns score (ADVICE r4: surface
+        # best-vs-final so round-over-round rows aren't conflated) —
+        # RALM and the staged continuation default to best-iterate
+        "point": (
+            "best"
+            if (
+                args.staged_precision
+                or option.get("keep_best_point", args.solver == "RALM")
+            )
+            else "final"
+        ),
         **staged_extra,
         **(
             {"rsqo_linear_solver": args.rsqo_linear_solver}
@@ -510,6 +649,7 @@ def main(argv=None):
         "median_residual": float(np.median(res)),
         "max_residual": float(np.max(res)),
         "gen_s": round(gen_s, 1),
+        "cache_hit": cache_hit,
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
     }

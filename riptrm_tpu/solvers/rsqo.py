@@ -342,6 +342,19 @@ def init_state(problem, option):
     dtype = (
         jnp.result_type(*x_leaves) if x_leaves else jnp.asarray(1.0).dtype
     )
+    # Refuse a LOSSY dual cast (ADVICE r4): f64 duals with f32
+    # coordinates must not be silently truncated.  (Promoting instead
+    # would desync the while_loop carry — the QP outputs follow the
+    # coordinate dtype — so the mixed case is an error the caller fixes
+    # by casting x0 or the duals explicitly.)
+    for name, arr in (("y0", problem.y0), ("z0", problem.z0)):
+        if arr.size and jnp.result_type(arr.dtype, dtype) != jnp.dtype(dtype):
+            raise ValueError(
+                f"RSQO: problem.{name} has dtype {arr.dtype} but the "
+                f"coordinate dtype is {jnp.dtype(dtype)}; casting would "
+                "silently truncate the duals — cast x0 or the duals "
+                "explicitly"
+            )
     y0 = jnp.asarray(problem.y0, dtype=dtype)
     z0 = jnp.asarray(problem.z0, dtype=dtype)
     # 'schulz' carries the QP's Newton-Schulz inverse across SQP steps;

@@ -34,7 +34,12 @@ TRANSIENT_MARKERS = (
     "worker process restarted",
     "socket closed",
     "connection reset",
-    "internal: ",  # XLA INTERNAL status — the worker died mid-execution
+    # NOTE: bare "internal: " is NOT a marker — Mosaic/XLA *compile*
+    # errors also surface as INTERNAL and must fail fast (ADVICE r4).
+    # Worker-death INTERNAL statuses carry one of the phrases below.
+    "internal: failed to get global tpu topology",
+    "internal: no such device",
+    "internal: stream executor",
 )
 
 

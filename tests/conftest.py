@@ -8,8 +8,14 @@ analog of a fake backend; SURVEY.md §4).
 
 import os
 import sys
+import tempfile
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Tests that call build_sweep must not write tiny instances into the
+# repo-tree dataset/_cache (the chip harness's generated-instance cache).
+os.environ.setdefault(
+    "RIPTRM_CACHE_DIR", tempfile.mkdtemp(prefix="riptrm_cache_")
+)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

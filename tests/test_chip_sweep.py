@@ -83,3 +83,40 @@ def test_build_sweep_low_rank():
     for b in range(2):
         x = tuple(leaf[b] for leaf in xs0)
         assert np.all(np.asarray(problem.slack(x)) > 0)
+
+
+def test_build_sweep_cache_roundtrip(tmp_path, monkeypatch):
+    """The generated-instance cache (VERDICT r4 item 7): a second
+    build_sweep must hit the npz and reproduce the identical sweep, and a
+    smaller-batch request must slice a larger-batch cache entry."""
+    monkeypatch.setenv("RIPTRM_CACHE_DIR", str(tmp_path))
+    from riptrm_tpu.experiment.chip_sweep import _cache_load
+
+    p1, xs1, ys1 = build_sweep("StableIdentification", 3, 3, seed=7)
+    files = list(tmp_path.glob("StableIdentification_s3_seed7_b3.npz"))
+    assert len(files) == 1
+    assert _cache_load("StableIdentification", 3, 3, 7) is not None
+
+    p2, xs2, ys2 = build_sweep("StableIdentification", 3, 3, seed=7)
+    for a, b in zip(jnp_tree_leaves(xs1), jnp_tree_leaves(xs2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(p1.ineq_val(tuple(l[0] for l in xs1))),
+        np.asarray(p2.ineq_val(tuple(l[0] for l in xs2))),
+    )
+
+    # batch=2 served by slicing the b=3 entry (no regeneration: the lanes
+    # must be the FIRST TWO of the cached batch, not fresh draws)
+    _, xs3, _ = build_sweep("StableIdentification", 3, 2, seed=7)
+    for a, b in zip(jnp_tree_leaves(xs1), jnp_tree_leaves(xs3)):
+        np.testing.assert_array_equal(np.asarray(a)[:2], np.asarray(b))
+
+    # cache=False bypasses both read and write
+    build_sweep("NonnegPCA", 8, 2, seed=7, cache=False)
+    assert _cache_load("NonnegPCA", 8, 2, 7) is None
+
+
+def jnp_tree_leaves(tree):
+    import jax
+
+    return jax.tree.leaves(tree)
