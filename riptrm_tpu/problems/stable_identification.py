@@ -123,6 +123,7 @@ def make_problem(
     X = jnp.asarray(np.hstack(xs), dtype=dtype) if xs else jnp.zeros((d, 0), dtype=dtype)
     XP = jnp.asarray(np.hstack(xps), dtype=dtype) if xps else jnp.zeros((d, 0), dtype=dtype)
     n_cols = X.shape[1]
+    data_sharding = None
     if mesh is not None and n_cols:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -134,6 +135,19 @@ def make_problem(
         data_sharding = NamedSharding(mesh, P(None, data_axis))
         X = jax.device_put(X, data_sharding)
         XP = jax.device_put(XP, data_sharding)
+
+    def _pin(arr):
+        """Re-pin the data sharding IN-GRAPH.  ``jax.jit`` does NOT honor
+        the committed sharding of closure-captured constants — it folds
+        them into a single-device program (measured round 5: the compiled
+        "sharded" cost carried the full [d, N] array, zero collectives,
+        num_partitions unset).  A ``with_sharding_constraint`` at the use
+        site forces the SPMD partitioner to compile for the mesh, so every
+        jitted cost/grad/HVP genuinely partitions the trajectory
+        contraction and inserts the psum."""
+        if data_sharding is None:
+            return arr
+        return jax.lax.with_sharding_constraint(arr, data_sharding)
 
     kinds, rows, cols, p1s, p2s = parse_constset(constset, interior_scaling)
     kinds_j = jnp.asarray(kinds)
@@ -152,7 +166,8 @@ def make_problem(
             # (generator.py:238-243); tiny quadratic keeps AD well-defined
             return 0.0 * jnp.sum(J**2)
         A = (J - R) @ Q
-        resid = XP - (eye + h * A) @ X
+        Xs, XPs = _pin(X), _pin(XP)
+        resid = XPs - (eye + h * A) @ Xs
         return jnp.sum(resid * resid) / n_cols
 
     def ineq(x):

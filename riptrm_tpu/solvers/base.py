@@ -288,9 +288,9 @@ def compiled_best_while(step1, state0, target, max_steps, best0,
     NonnegPCA: dips to 3.96e-4 around the reference's protocol best, then
     RISES to ~0.7 by the budget's end), so a sweep reporting the final
     state reads as a 0.6-residual "stall" when the solver did reach the
-    target; the reference's own analyzers score min-within-budget
-    (analyzer.py best-residual rows).  Costs one extra state copy in the
-    carry.
+    target; the reference's analyzer notebooks plot the full residual
+    trajectory (``src/*/analyzer.ipynb``), where the dip is what a reader
+    scores.  Costs one extra state copy in the carry.
 
     Returns (state, steps, done, best).
     """

@@ -49,6 +49,21 @@ def default_option():
         "KrylovIterMethod": False,
         "KrylovTolrelresid": 1e-9,
         "KrylovMaxIteration": 1000,
+        # Jacobi preconditioner for the condensed CR solve (extension; the
+        # reference's TangentSpaceConjResMethod is unpreconditioned,
+        # ``utils.py:582-619`` — but it never faced cond ~1e12 at f32:
+        # near the boundary Theta = G^T diag(z/s) G has a z/s spread that
+        # the d=32 StableIdentification barrier drives to ~1e12, flooring
+        # unpreconditioned CR far above tolerance).  'jacobi_theta' runs
+        # CR in metric-orthonormal basis coordinates with the exact
+        # diagonal of Theta-hat plus a Rayleigh estimate of the Lagrangian
+        # Hessian scale; requires a closed-form manifold basis and no
+        # equality constraints.
+        "KrylovPreconditioner": "none",  # or "jacobi_theta"
+        # Compiled sweeps only: return the best-residual iterate instead of
+        # the last (RIPM at an f32 conditioning floor churns around the
+        # dip like RALM/staged-RIPTRM; the host .run() path is unaffected)
+        "keep_best_point": False,
         "checkNTequation": False,
         "gamma": 0.9,
         "linesearch_execute_fun2": False,
@@ -157,12 +172,54 @@ def make_step(problem, option):
             theta = gx_pos(gxaj_pos(dx) * (z / s))
             return jax.tree.map(lambda a, b: a + b, lag_hvp(dx), theta)
 
-        # Basis only exists on manifolds with a closed-form dense basis; the
-        # Krylov path (the only one FixedRankEmbedded supports) never needs it.
-        basis = man.basis(x) if (not krylov or check_nt) else None
+        # Basis exists on manifolds with a closed-form dense basis; the
+        # plain Krylov path (the only one FixedRankEmbedded supports) never
+        # needs it, but the Jacobi-preconditioned CR runs in basis coords.
+        precon = krylov and option.get("KrylovPreconditioner") == "jacobi_theta"
+        basis = man.basis(x) if (not krylov or check_nt or precon) else None
         krylov_iters = jnp.asarray(0)
         krylov_relres = jnp.asarray(0.0, dtype=s.dtype)
-        if krylov:
+        if precon:
+            if l > 0:
+                raise NotImplementedError(
+                    "KrylovPreconditioner='jacobi_theta' supports "
+                    "inequality-only problems (the equality block would "
+                    "make the coordinate system indefinite-saddle)"
+                )
+            # CR on the symmetrically Jacobi-scaled operator in
+            # metric-orthonormal coordinates: A-hat = D^-1/2 Ahat D^-1/2
+            # with D = diag(Theta-hat) + Hessian Rayleigh scale.  The
+            # exact Theta-hat diagonal is sum_k (z_k/s_k) G[k, i]^2 from
+            # the constraint-gradient matrix (one vmapped vjp); the
+            # ambient diagonal would NOT be metric-self-adjoint (SPD
+            # carries the affine-invariant metric), the coordinate
+            # diagonal is.
+            g_mat = _constraint_grad_matrix(problem, x, basis, m)  # [m, dim]
+            theta_diag = (z / s) @ (g_mat * g_mat)
+            c_hat = man.to_coords(x, basis, c)
+            hess_c = lag_hvp(c)
+            cc = man.inner(x, c, c)
+            rayleigh = jnp.abs(man.inner(x, c, hess_c)) / jnp.maximum(
+                cc, jnp.finfo(s.dtype).tiny
+            )
+            d_scale = theta_diag + jnp.maximum(rayleigh, 1e-8)
+            d_isqrt = jax.lax.rsqrt(d_scale)
+
+            def op_hat(u):
+                v = man.from_coords(x, basis, d_isqrt * u)
+                return d_isqrt * man.to_coords(x, basis, op_aw(v))
+
+            sol, krylov_iters, krylov_relres = conjugate_residual(
+                lambda u, v: jnp.vdot(u, v),
+                op_hat,
+                d_isqrt * c_hat,
+                jnp.zeros((dim,), dtype=s.dtype),
+                tol=option["KrylovTolrelresid"],
+                maxiter=option["KrylovMaxIteration"],
+            )
+            ntdir_x = man.from_coords(x, basis, d_isqrt * sol)
+            ntdir_y = jnp.zeros((0,), dtype=s.dtype)
+        elif krylov:
             # Matrix-free conjugate residual on T_x M x R^l (RIPM.py:304-340)
             def op_t(dxdy):
                 dx, dy = dxdy
@@ -484,6 +541,7 @@ def solve_compiled_best(problem, option, max_steps: int):
         st, k, _, best = compiled_best_while(
             step1, state, target, max_steps, residual(state),
             stall_window=option.get("sweep_stall_window"),
+            track_best_state=option.get("keep_best_point", False),
         )
         return st, k, best
 

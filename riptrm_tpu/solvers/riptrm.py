@@ -370,6 +370,7 @@ def make_step(problem, option):
             dx = man.from_coords(x, basis, coeff)
             cx_dx = c_vec @ coeff
             dxtype = trs_code
+            tcg_iters = jnp.asarray(0, jnp.int32)  # exact mode: no tCG
         else:
             if use_pallas and pallas_kind == "sphere_quadratic":
                 zs = problem.structure["Zs"]
@@ -670,6 +671,11 @@ def make_step(problem, option):
             converged=converged,
             exit_inner=exit_inner,
             outer_iter=outer_iter,
+            # HVP-call count of the direction solve this step (tCG
+            # iterations; 0 in exact mode) — the dynamic collective count
+            # on a data-sharded problem is tcg_iters + O(1) per step
+            # (sid_sharded_ratio decomposition)
+            tcg_iters=jnp.asarray(tcg_iters, jnp.int32),
         )
         info.update(trs_check)
         return new_state, info
@@ -931,7 +937,9 @@ class RIPTRM:
         """Map jnp status codes to the reference's string log values."""
         out = {}
         for k, v in info.items():
-            if k in ("converged", "exit_inner", "outer_iter"):
+            if k in ("converged", "exit_inner", "outer_iter", "tcg_iters"):
+                # tcg_iters is measurement-harness metadata, not a
+                # reference log column (CSV contract stays reference-shaped)
                 continue
             out[k] = v
         status = int(info["inner_status"])
