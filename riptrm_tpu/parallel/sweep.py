@@ -172,6 +172,76 @@ def staged_precision_riptrm_solve(problem_lo, problem_hi, option_lo,
     return jax.jit(run)
 
 
+def batched_ripm_continue(problem, option, max_steps: int):
+    """vmapped compiled RIPM solve CONTINUING from prior final RipmStates
+    (phase 2 of a staged-precision sweep, VERDICT r4 item 3 — the RIPTRM
+    two-phase pattern generalizes: phase boundaries are program
+    boundaries).  The iteration counter is re-seeded and the merit /
+    centering scalars (phi, sigma, rho, tau_1, tau_2) are RECOMPUTED
+    under the new program — the continuation problem's matvec precision
+    changes phi, and a stale phi would corrupt the first Armijo test.
+    Runs with ``keep_best_point`` on (overridable): the continuation
+    operates at the precision floor, so post-dip churn must not hand back
+    a worse state than its own best."""
+    from riptrm_tpu.solvers import ripm
+
+    option = {"keep_best_point": True, **(option or {})}
+    solve = ripm.solve_compiled_best(problem, option, max_steps)
+    m = problem.num_ineq
+
+    def one(st):
+        f = ripm._kkt_field(problem, st.x, st.y, st.z, st.s)
+        phi = ripm._phi(problem, st.x, *f)
+        st = st._replace(
+            phi=phi,
+            sigma=jnp.minimum(0.5, phi**0.25),
+            rho=jnp.vdot(st.z, st.s) / m,
+            iteration=jnp.asarray(0),
+        )
+        tau_1 = jnp.min(st.z * st.s) * m / jnp.vdot(st.z, st.s)
+        tau_2 = jnp.vdot(st.z, st.s) / jnp.sqrt(phi)
+        state, k, best = solve(st, tau_1, tau_2, -jnp.inf)
+        res = compute_residual(problem, state.x, state.z, state.y)[0]
+        return state, k, res
+
+    return jax.jit(jax.vmap(one))
+
+
+def staged_precision_ripm_solve(problem_lo, problem_hi, option_lo,
+                                option_hi, max_steps: int):
+    """Two-phase staged-matvec-precision batched RIPM solve, ONE jit
+    program (the RIPM port of ``staged_precision_riptrm_solve`` — same
+    economics: in-graph precision gating is useless under vmap, so the
+    escalation is a program boundary).  Phase 1 runs ``problem_lo``
+    (e.g. bf16x3 'high' matvecs) to its floor; phase 2 continues every
+    lane under ``problem_hi`` (e.g. 'highest') with ``option_hi``'s
+    tighter Krylov/residual tolerances.
+
+    Returns solve(xs0, ys0) -> (final states, per-lane total steps,
+    final residuals, phase-1 residuals)."""
+    from riptrm_tpu.solvers import ripm
+
+    solve1, start1, _ = _solver_plumbing(
+        problem_lo, "RIPM", option_lo, max_steps
+    )
+    cont = batched_ripm_continue(problem_hi, option_hi, max_steps)
+
+    def one1(x0, y0):
+        st0, extras = start1(x0, y0)
+        st, k, _ = solve1(st0, *extras, -jnp.inf)
+        res = compute_residual(problem_lo, st.x, st.z, st.y)[0]
+        return st, k, res
+
+    v1 = jax.vmap(one1)
+
+    def run(xs0, ys0):
+        st1, k1, res1 = v1(xs0, ys0)
+        st2, k2, res2 = cont(st1)
+        return st2, k1 + k2, res2, res1
+
+    return jax.jit(run)
+
+
 def sharded_riptrm_solve(problem, option, max_steps: int, mesh: Mesh, axis: str = "dp"):
     """shard_map of the vmapped solve over a mesh axis.
 

@@ -86,12 +86,15 @@ class Problem:
     # ------------------------------------------------------------------
     def ineq_val(self, x):
         if not self.has_ineq:
-            return jnp.zeros((0,))
+            # empty fallback in the COORDINATE dtype: a bare zeros((0,))
+            # is f64 under x64 and silently promotes phi/sigma (and then
+            # whole solver states) of an f32 problem
+            return jnp.zeros((0,), dtype=jax.tree.leaves(x)[0].dtype)
         return self.ineq(x)
 
     def eq_val(self, x):
         if not self.has_eq:
-            return jnp.zeros((0,))
+            return jnp.zeros((0,), dtype=jax.tree.leaves(x)[0].dtype)
         return self.eq(x)
 
     def slack(self, x):

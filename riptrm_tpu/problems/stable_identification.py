@@ -92,8 +92,14 @@ def make_problem(
     dtype=None,
     mesh=None,
     data_axis: str = "tp",
+    matmul_precision=None,
 ) -> Problem:
     """Build the StableIdentification problem.
+
+    ``matmul_precision``: None uses the backend default; 'highest' forces
+    full-f32 passes through the cost/constraint matmul chain — the
+    staged-precision phase-2 program for f32 chip sweeps (the same lever
+    as NonnegPCA's, BENCH.md precision notes).
 
     ``mesh``/``data_axis``: shard the concatenated trajectory data over a
     mesh axis (BASELINE north star: "large StableIdentification instances
@@ -159,20 +165,23 @@ def make_problem(
 
     eye = jnp.eye(d, dtype=dtype)
 
+    def _mm(a, b):
+        return jnp.matmul(a, b, precision=matmul_precision)
+
     def cost(x):
         J, R, Q = x
         if cost_zero:
             # feasibility problem used by the initial-point generator
             # (generator.py:238-243); tiny quadratic keeps AD well-defined
             return 0.0 * jnp.sum(J**2)
-        A = (J - R) @ Q
+        A = _mm(J - R, Q)
         Xs, XPs = _pin(X), _pin(XP)
-        resid = XPs - (eye + h * A) @ Xs
+        resid = XPs - _mm(eye + h * A, Xs)
         return jnp.sum(resid * resid) / n_cols
 
     def ineq(x):
         J, R, Q = x
-        A = (J - R) @ Q
+        A = _mm(J - R, Q)
         a = A[rows_j, cols_j]
         ls_val = -a + p1_j
         rs_val = a - p2_j

@@ -123,7 +123,10 @@ def _gxaj_pos(problem, x, dx):
 def _constraint_grad_matrix(problem, x, basis, m):
     """G with G[i, :] = coords of rgrad g_i — one vmapped vjp."""
     man = problem.manifold
-    eye = jnp.eye(m)
+    # seed dtype must match the ineq output's (the vjp rejects a mismatch;
+    # under x64 a bare jnp.eye would be f64 against an f32 problem)
+    dt = jax.tree.leaves(x)[0].dtype
+    eye = jnp.eye(m, dtype=dt)
     return jax.vmap(lambda e: man.to_coords(x, basis, _gx_pos(problem, x, e)))(eye)
 
 
@@ -202,12 +205,22 @@ def make_step(problem, option):
             rayleigh = jnp.abs(man.inner(x, c, hess_c)) / jnp.maximum(
                 cc, jnp.finfo(s.dtype).tiny
             )
-            d_scale = theta_diag + jnp.maximum(rayleigh, 1e-8)
+            d_raw = theta_diag + jnp.maximum(rayleigh, 1e-8)
+            # Cap the preconditioner's own condition number: Theta-hat is
+            # exactly ZERO along coordinates no constraint touches, so
+            # d_raw's spread can reach ~1e14 when the Rayleigh scalar
+            # underestimates the Hessian there — measured to destabilize
+            # a lane (d=8 A/B).  The cap keeps the strong directions
+            # scaled while bounding the amplification of weak ones.
+            kappa_cap = option.get("KrylovPreconKappaCap", 1e8)
+            d_scale = jnp.maximum(d_raw, jnp.max(d_raw) / kappa_cap)
             d_isqrt = jax.lax.rsqrt(d_scale)
 
             def op_hat(u):
                 v = man.from_coords(x, basis, d_isqrt * u)
                 return d_isqrt * man.to_coords(x, basis, op_aw(v))
+
+            d_sqrt = jnp.sqrt(d_scale)
 
             sol, krylov_iters, krylov_relres = conjugate_residual(
                 lambda u, v: jnp.vdot(u, v),
@@ -216,6 +229,9 @@ def make_step(problem, option):
                 jnp.zeros((dim,), dtype=s.dtype),
                 tol=option["KrylovTolrelresid"],
                 maxiter=option["KrylovMaxIteration"],
+                # stop on the ORIGINAL-system residual norm so the inexact
+                # Newton direction quality matches the plain CR's tol
+                stop_norm=lambda r: jnp.linalg.norm(d_sqrt * r),
             )
             ntdir_x = man.from_coords(x, basis, d_isqrt * sol)
             ntdir_y = jnp.zeros((0,), dtype=s.dtype)
@@ -317,11 +333,21 @@ def make_step(problem, option):
             return (~ok) & (r <= ls_max)
 
         def body(carry):
-            stepsize, w, f, phi_new, r, _ = carry
-            stepsize = stepsize * ls_theta
-            w, f, phi_new = trial(stepsize)
-            ok = ls_ok(stepsize, w[2], w[3], phi_new)
-            return (stepsize, w, f, phi_new, r + 1, ok)
+            stepsize, w, f, phi_new, r, ok = carry
+            new_stepsize = stepsize * ls_theta
+            w2, f2, phi2 = trial(new_stepsize)
+            ok2 = ls_ok(new_stepsize, w2[2], w2[3], phi2)
+            new = (new_stepsize, w2, f2, phi2, r + 1, ok2)
+            # Freeze a lane whose line search already succeeded: under
+            # vmap the while_loop runs all lanes in lockstep until EVERY
+            # cond is false, and without the freeze a sibling lane's
+            # backtracking kept halving an already-accepted lane's step
+            # (measured: lane converging to 3.6e-3 at B=1 stalled at 3.34
+            # at B=2 — the r4 d=32 "0.436 floor" was measured under this
+            # drag).
+            return jax.tree.map(
+                lambda n, o: jnp.where(ok, o, n), new, carry
+            )
 
         ok1 = ls_ok(jnp.asarray(1.0, dtype=s.dtype), w1[2], w1[3], phi1)
         stepsize, w_new, f_new, phi_new, r, ok = jax.lax.while_loop(
