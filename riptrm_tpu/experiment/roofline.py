@@ -180,11 +180,18 @@ def sphere_case(jax, jnp, n, b, maxinner):
     }
 
 
-def stiefel_case(jax, jnp, n, b, p, maxinner):
+def stiefel_case(jax, jnp, n, b, p, maxinner, impl="lane_major"):
     from riptrm_tpu.ops.pallas_kernels import (
         _stiefel_bound_pieces,
         pallas_tcg_stiefel_bound_batched,
+        pallas_tcg_stiefel_bound_batched_pmajor,
         stiefel_lane_block,
+        stiefel_lane_block_pmajor,
+    )
+
+    batched_fn = (
+        pallas_tcg_stiefel_bound_batched_pmajor
+        if impl == "pmajor" else pallas_tcg_stiefel_bound_batched
     )
 
     key = jax.random.PRNGKey(1)
@@ -217,7 +224,7 @@ def stiefel_case(jax, jnp, n, b, p, maxinner):
     )
 
     def call(g):
-        eta, heta, iters, code = pallas_tcg_stiefel_bound_batched(
+        eta, heta, iters, code = batched_fn(
             z, d, xs, ws, ss, g, radii,
             maxinner=maxinner, mininner=maxinner, kappa=1e-30,
         )
@@ -241,7 +248,10 @@ def stiefel_case(jax, jnp, n, b, p, maxinner):
     # [Bpb, Bpb] per-block contractions are counted as overhead (so both
     # %columns are lower bounds on kernel quality)
     hw_flops_per_iter = 12.0 * bp * n * n
-    bb = stiefel_lane_block(n, p, b)
+    bb = (
+        stiefel_lane_block_pmajor(n, p, b)
+        if impl == "pmajor" else stiefel_lane_block(n, p, b)
+    )
     grid = -(-b // bb)
     bpb = bb * p
     v0 = jnp.transpose(grads[:bb], (1, 0, 2)).reshape(n, bpb) + 0.1
@@ -262,6 +272,8 @@ def main(argv=None):
     parser.add_argument("--maxinner", type=int, default=64)
     parser.add_argument("--stiefel-n", type=int, default=128)
     parser.add_argument("--stiefel-p", type=int, default=8)
+    parser.add_argument("--skip-sphere", action="store_true",
+                        help="stiefel-only run (kernel A/B iterations)")
     parser.add_argument("--out", default="result/roofline.json")
     args = parser.parse_args(argv)
 
@@ -288,7 +300,7 @@ def main(argv=None):
         return row
 
     rows = []
-    for n in args.sizes:
+    for n in args.sizes if not args.skip_sphere else []:
         for b in args.batches:
             trips, calls_s, iters_s, hw_fpi, extra = sphere_case(
                 jax, jnp, n, b, args.maxinner
@@ -301,14 +313,17 @@ def main(argv=None):
 
     for b in args.batches:
         bp = b * args.stiefel_p
-        trips, calls_s, iters_s, hw_fpi, extra = stiefel_case(
-            jax, jnp, args.stiefel_n, b, args.stiefel_p, args.maxinner
-        )
-        rows.append(make_row(
-            "tcg_stiefel_batched", args.stiefel_n, trips, calls_s,
-            iters_s, hw_fpi, B=b, p=args.stiefel_p, lanes_Bp=bp, **extra,
-        ))
-        print(json.dumps(rows[-1]), flush=True)
+        for impl in ("pmajor", "lane_major"):
+            trips, calls_s, iters_s, hw_fpi, extra = stiefel_case(
+                jax, jnp, args.stiefel_n, b, args.stiefel_p, args.maxinner,
+                impl=impl,
+            )
+            rows.append(make_row(
+                f"tcg_stiefel_batched_{impl}", args.stiefel_n, trips,
+                calls_s, iters_s, hw_fpi, B=b, p=args.stiefel_p,
+                lanes_Bp=bp, **extra,
+            ))
+            print(json.dumps(rows[-1]), flush=True)
     if args.out:
         import jax as _jax
 

@@ -829,76 +829,12 @@ def stiefel_lane_block(n: int, p: int, b: int) -> int:
     return min(bb, b)
 
 
-def _tcg_kernel_stiefel(
-    radius_ref, target_ref, flag_ref, d_ref, z_ref, x_ref, w_ref, s_ref,
-    g_ref, eta_ref, heta_ref, stats_ref,
-    *, maxinner, mininner, p,
-):
-    """Entire batched Steihaug-Toint tCG for the stiefel_bound structure.
-
-    Shapes are PER GRID BLOCK (bb lanes, Bp = bb*p columns):
-    radius/target/flag: [1, Bp] lane-constant rows; d: [1, Bp] Brockett
-    weights tiled per lane; z: [n, n] (constant window across blocks);
-    x/w/g: [n, Bp] flattened lane frames; s: [1, Bp, Bp] block-diagonal
-    per-lane curvature sym(X'E).  Outputs eta/heta [n, Bp] and stats
-    [2, Bp] int32 (iterations, stop code — same codes as ops/tcg.py).
-    """
-    x = x_ref[:]
-    w = w_ref[:]
-    grad = g_ref[:]
-    sblk = s_ref[0]
-    drow = d_ref[:]
-    radius = radius_ref[:]
-    target = target_ref[:]
-    linear_flag = flag_ref[:]
-    bp = x.shape[1]
-
-    # lane-block mask (i // p == j // p), built in-kernel from 2-D iotas
-    row_lane = jax.lax.broadcasted_iota(jnp.int32, (bp, bp), 0) // p
-    col_lane = jax.lax.broadcasted_iota(jnp.int32, (bp, bp), 1) // p
-    maskf = (row_lane == col_lane).astype(jnp.float32)
-
-    hi = jax.lax.Precision.HIGHEST
-
-    def xtu(a, bmat):
-        # a' bmat contracting the n axis: [n, Bp]' x [n, Bp] -> [Bp, Bp]
-        return jax.lax.dot_general(
-            a, bmat, (((0,), (0,)), ((), ())),
-            precision=hi, preferred_element_type=jnp.float32,
-        )
-
-    def lane_sum(row):
-        # [1, Bp] -> [1, Bp]: per-lane totals, broadcast back within blocks
-        return jnp.dot(row, maskf, precision=hi,
-                       preferred_element_type=jnp.float32)
-
-    def dot(a, bmat):
-        return lane_sum(jnp.sum(a * bmat, axis=0, keepdims=True))
-
-    def proj(u):
-        m = maskf * 0.5 * (xtu(x, u) + xtu(u, x))  # blockdiag sym(X'U)
-        return u - jnp.dot(x, m, precision=hi,
-                           preferred_element_type=jnp.float32)
-
-    # HIGHEST-precision Z matvec — NOT the sphere kernel's bf16x3 scheme:
-    # measured on-chip (BENCH.md precision notes), the stiefel_bound inner
-    # loop never satisfies its complementarity criterion at 'high'-class
-    # matvec noise (the tCG direction error keeps the accept/reject cycle
-    # churning at full TR radius; compl plateaus at ~8e-3 vs the 6.4e-4
-    # threshold at St(128,8)), while 6-pass bf16 converges to the mu floor.
-    # Compensated reductions were measured NOT to move this floor — the
-    # noise enters through the direction, not the criterion's reduction.
-    z32 = z_ref[:]
-
-    def matvec3(v):
-        return jnp.dot(z32, v, precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32)
-
-    def hw(v):
-        vs = jnp.dot(v, sblk, precision=hi,
-                     preferred_element_type=jnp.float32)  # per-lane V S
-        return proj(-2.0 * matvec3(v) * drow - vs + w * v)
-
+def _stiefel_tcg_loop(grad, radius, target, linear_flag, dot, proj, hw,
+                      *, maxinner, mininner):
+    """Shared Steihaug-Toint loop for the two stiefel_bound kernel layouts
+    (lane-major masked-matmul and p-major sliced): identical math, the
+    layouts differ only in how ``dot``/``proj``/``hw`` realize the
+    per-lane reductions.  Returns the raw while_loop carry tuple."""
     r0 = grad
     z_r0 = dot(r0, r0)
     delta0 = -r0
@@ -974,7 +910,83 @@ def _tcg_kernel_stiefel(
             j + 1,
         )
 
-    out = jax.lax.while_loop(cond, body, init)
+    return jax.lax.while_loop(cond, body, init)
+
+
+def _tcg_kernel_stiefel(
+    radius_ref, target_ref, flag_ref, d_ref, z_ref, x_ref, w_ref, s_ref,
+    g_ref, eta_ref, heta_ref, stats_ref,
+    *, maxinner, mininner, p,
+):
+    """Entire batched Steihaug-Toint tCG for the stiefel_bound structure.
+
+    Shapes are PER GRID BLOCK (bb lanes, Bp = bb*p columns):
+    radius/target/flag: [1, Bp] lane-constant rows; d: [1, Bp] Brockett
+    weights tiled per lane; z: [n, n] (constant window across blocks);
+    x/w/g: [n, Bp] flattened lane frames; s: [1, Bp, Bp] block-diagonal
+    per-lane curvature sym(X'E).  Outputs eta/heta [n, Bp] and stats
+    [2, Bp] int32 (iterations, stop code — same codes as ops/tcg.py).
+    """
+    x = x_ref[:]
+    w = w_ref[:]
+    grad = g_ref[:]
+    sblk = s_ref[0]
+    drow = d_ref[:]
+    radius = radius_ref[:]
+    target = target_ref[:]
+    linear_flag = flag_ref[:]
+    bp = x.shape[1]
+
+    # lane-block mask (i // p == j // p), built in-kernel from 2-D iotas
+    row_lane = jax.lax.broadcasted_iota(jnp.int32, (bp, bp), 0) // p
+    col_lane = jax.lax.broadcasted_iota(jnp.int32, (bp, bp), 1) // p
+    maskf = (row_lane == col_lane).astype(jnp.float32)
+
+    hi = jax.lax.Precision.HIGHEST
+
+    def xtu(a, bmat):
+        # a' bmat contracting the n axis: [n, Bp]' x [n, Bp] -> [Bp, Bp]
+        return jax.lax.dot_general(
+            a, bmat, (((0,), (0,)), ((), ())),
+            precision=hi, preferred_element_type=jnp.float32,
+        )
+
+    def lane_sum(row):
+        # [1, Bp] -> [1, Bp]: per-lane totals, broadcast back within blocks
+        return jnp.dot(row, maskf, precision=hi,
+                       preferred_element_type=jnp.float32)
+
+    def dot(a, bmat):
+        return lane_sum(jnp.sum(a * bmat, axis=0, keepdims=True))
+
+    def proj(u):
+        m = maskf * 0.5 * (xtu(x, u) + xtu(u, x))  # blockdiag sym(X'U)
+        return u - jnp.dot(x, m, precision=hi,
+                           preferred_element_type=jnp.float32)
+
+    # HIGHEST-precision Z matvec — NOT the sphere kernel's bf16x3 scheme:
+    # measured on-chip (BENCH.md precision notes), the stiefel_bound inner
+    # loop never satisfies its complementarity criterion at 'high'-class
+    # matvec noise (the tCG direction error keeps the accept/reject cycle
+    # churning at full TR radius; compl plateaus at ~8e-3 vs the 6.4e-4
+    # threshold at St(128,8)), while 6-pass bf16 converges to the mu floor.
+    # Compensated reductions were measured NOT to move this floor — the
+    # noise enters through the direction, not the criterion's reduction.
+    z32 = z_ref[:]
+
+    def matvec3(v):
+        return jnp.dot(z32, v, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+
+    def hw(v):
+        vs = jnp.dot(v, sblk, precision=hi,
+                     preferred_element_type=jnp.float32)  # per-lane V S
+        return proj(-2.0 * matvec3(v) * drow - vs + w * v)
+
+    out = _stiefel_tcg_loop(
+        grad, radius, target, linear_flag, dot, proj, hw,
+        maxinner=maxinner, mininner=mininner,
+    )
     eta_ref[:] = out[0]
     heta_ref[:] = out[1]
     stats_ref[:] = jnp.concatenate([out[9], out[10]], axis=0).astype(jnp.int32)
@@ -1074,6 +1086,246 @@ def pallas_tcg_stiefel_bound_batched(
     )
 
 
+def _fits_in_vmem_stiefel_pmajor(n: int, bb: int, p: int) -> bool:
+    """VMEM check for the p-major kernel: ~10 live [n, p*bb] f32 arrays
+    (x/w/g/eta/Heta/r/delta + temporaries) + the Z window + S rows."""
+    return (
+        10 * n * p * bb * 4 + n * n * 4 + p * p * bb * 4
+        <= BATCHED_VMEM_BUDGET_BYTES
+    )
+
+
+def stiefel_lane_block_pmajor(n: int, p: int, b: int) -> int:
+    """Lanes per grid block for the P-MAJOR stiefel kernel.
+
+    The p-major layout has no cross-lane [Bp, Bp] contractions to bound —
+    its per-lane reductions are contiguous [n, bb] VPU slices costing
+    O(n*bb*p^2) per iteration vs the matvec's O(n^2*p*bb) — so the block
+    is limited only by VMEM (and VPU lane fill prefers bb >= 128 when the
+    budget allows)."""
+    bb = b
+    while bb > 1 and not _fits_in_vmem_stiefel_pmajor(n, bb, p):
+        bb = (bb + 1) // 2
+    return bb
+
+
+def _tcg_kernel_stiefel_pmajor(
+    radius_ref, target_ref, flag_ref, d_ref, z_ref, x_ref, w_ref, s_ref,
+    g_ref, eta_ref, heta_ref, stats_ref,
+    *, maxinner, mininner, p, bb,
+):
+    """Batched stiefel_bound tCG in the P-MAJOR interleaved layout.
+
+    Column ``j*bb + l`` holds lane ``l``'s frame column ``j`` — so every
+    per-lane block-diagonal contraction (sym(X'U) in ``proj``, the V S
+    product, per-lane dots) becomes p^2 CONTIGUOUS [n, bb] elementwise
+    multiply-reduce slices on the VPU instead of masked [Bp, Bp] MXU
+    matmuls.  That removes the O(n * Bp^2) HIGHEST-precision cross-lane
+    term that dominated the lane-major kernel (measured round 4: 13.7% of
+    the bare-chain denominator at B=128 with ~86% of the time in the
+    masked contractions); the Z matvec is the only MXU op left.
+
+    Shapes per grid block: radius/target/flag/d [1, p*bb] (p-major rows);
+    z [n, n]; x/w/g [n, p*bb]; s [p, p*bb] with s[i, j*bb+l] = S_l[i, j].
+    """
+    x = x_ref[:]
+    w = w_ref[:]
+    grad = g_ref[:]
+    srows = s_ref[0]
+    drow = d_ref[:]
+    radius = radius_ref[:]
+    target = target_ref[:]
+    linear_flag = flag_ref[:]
+    hi = jax.lax.Precision.HIGHEST
+    z32 = z_ref[:]
+
+    def sl(a, j):
+        return a[:, j * bb:(j + 1) * bb]
+
+    def tile_p(a):
+        # [r, bb] -> [r, p*bb] (the same bb-lane block at every j slot)
+        return jnp.concatenate([a] * p, axis=1)
+
+    def lane_sum(row):
+        tot = sl(row, 0)
+        for j in range(1, p):
+            tot = tot + sl(row, j)
+        return tile_p(tot)
+
+    def dot(a, bmat):
+        return lane_sum(jnp.sum(a * bmat, axis=0, keepdims=True))
+
+    def matvec(v):
+        # HIGHEST like the lane-major kernel: the stiefel_bound inner loop
+        # cannot satisfy its complementarity criterion at 'high'-class
+        # matvec noise (measured, BENCH.md precision notes)
+        return jnp.dot(z32, v, precision=hi,
+                       preferred_element_type=jnp.float32)
+
+    if bb >= 128:
+        # Full-lane slices: at bb >= 128 every [n, bb] slice fills the
+        # VPU's 128 lanes, and the slice form avoids the tile_p lane
+        # broadcasts (measured B=128: slice form 182k iters/s vs the
+        # full-width form's 145k).
+        def proj(u):
+            xs_ = [sl(x, i) for i in range(p)]
+            us = [sl(u, j) for j in range(p)]
+            c = [
+                [jnp.sum(xs_[i] * us[j], axis=0, keepdims=True)
+                 for j in range(p)]
+                for i in range(p)
+            ]
+            outs = []
+            for j in range(p):
+                acc = us[j]
+                for i in range(p):
+                    acc = acc - xs_[i] * (0.5 * (c[i][j] + c[j][i]))
+                outs.append(acc)
+            return jnp.concatenate(outs, axis=1)
+
+        def vsmul(v):
+            vs_ = [sl(v, i) for i in range(p)]
+            outs = []
+            for j in range(p):
+                acc = vs_[0] * srows[0:1, j * bb:(j + 1) * bb]
+                for i in range(1, p):
+                    acc = acc + vs_[i] * srows[i:i + 1, j * bb:(j + 1) * bb]
+                outs.append(acc)
+            return jnp.concatenate(outs, axis=1)
+    else:
+        # Narrow blocks: p^2 narrow slices starve the VPU (measured
+        # B=16: 55k iters/s sliced vs 593k full-width); do ONE [n, Bp]
+        # multiply-reduce per i instead, with x's tiles amortized over
+        # the whole tCG (x is loop-invariant).
+        xtiles = [tile_p(sl(x, i)) for i in range(p)]
+
+        def proj(u):
+            crows = [
+                jnp.sum(xtiles[i] * u, axis=0, keepdims=True)
+                for i in range(p)
+            ]
+            acc = u
+            for i in range(p):
+                m_row = jnp.concatenate(
+                    [0.5 * (sl(crows[i], j) + sl(crows[j], i))
+                     for j in range(p)],
+                    axis=1,
+                )
+                acc = acc - xtiles[i] * m_row
+            return acc
+
+        def vsmul(v):
+            acc = tile_p(sl(v, 0)) * srows[0:1]
+            for i in range(1, p):
+                acc = acc + tile_p(sl(v, i)) * srows[i:i + 1]
+            return acc
+
+    def hw(v):
+        return proj(-2.0 * matvec(v) * drow - vsmul(v) + w * v)
+
+    out = _stiefel_tcg_loop(
+        grad, radius, target, linear_flag, dot, proj, hw,
+        maxinner=maxinner, mininner=mininner,
+    )
+    eta_ref[:] = out[0]
+    heta_ref[:] = out[1]
+    stats_ref[:] = jnp.concatenate([out[9], out[10]], axis=0).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("maxinner", "mininner",
+                                             "lane_block"))
+def pallas_tcg_stiefel_bound_batched_pmajor(
+    zs, d, xs, ws, ss, grads, radii, *, maxinner, mininner=1, theta=1.0,
+    kappa=0.1, lane_block=None
+):
+    """P-major wrapper: packs [B, n, p] lane tensors into the interleaved
+    [n, grid, p, bb] column order (see ``_tcg_kernel_stiefel_pmajor``) and
+    returns the same (etas, Hetas, iterations, codes) as the lane-major
+    wrapper."""
+    b, n, p = xs.shape
+    bb = (
+        stiefel_lane_block_pmajor(n, p, b)
+        if lane_block is None else min(lane_block, b)
+    )
+    pad = -b % bb
+    grid = (b + pad) // bb
+    bt = b + pad
+    bpb = bb * p
+
+    pad_b = lambda a: jnp.pad(
+        a.astype(jnp.float32), ((0, pad),) + ((0, 0),) * (a.ndim - 1),
+        mode="edge",
+    )
+    xs32, ws32, gs32, ss32 = pad_b(xs), pad_b(ws), pad_b(grads), pad_b(ss)
+    radii_p = pad_b(jnp.broadcast_to(radii, (b,)))
+
+    def pack(a):  # [bt, n, p] -> [n, grid*p*bb] p-major per block
+        return jnp.transpose(
+            a.reshape(grid, bb, n, p), (2, 0, 3, 1)
+        ).reshape(n, grid * p * bb)
+
+    x_f, w_f, g_f = pack(xs32), pack(ws32), pack(gs32)
+    s_rows = jnp.transpose(
+        ss32.reshape(grid, bb, p, p), (0, 2, 3, 1)
+    ).reshape(grid, p, p * bb)
+
+    def scalar_row(v):  # [bt] -> [1, grid*p*bb] (value per lane, tiled)
+        return jnp.broadcast_to(
+            v.reshape(grid, 1, bb), (grid, p, bb)
+        ).reshape(1, grid * p * bb)
+
+    norm_r0 = jnp.sqrt(jnp.sum(gs32[:b] ** 2, axis=(1, 2)))
+    target = norm_r0 * jnp.minimum(norm_r0**theta, kappa)
+    linear_flag = (kappa < norm_r0**theta).astype(jnp.float32)
+    d_row = jnp.broadcast_to(
+        d.astype(jnp.float32)[None, :, None], (grid, p, bb)
+    ).reshape(1, grid * p * bb)
+
+    kern = functools.partial(
+        _tcg_kernel_stiefel_pmajor, maxinner=maxinner, mininner=mininner,
+        p=p, bb=bb,
+    )
+    row_blk = pl.BlockSpec((1, bpb), lambda i: (0, i))
+    col_blk = pl.BlockSpec((n, bpb), lambda i: (0, i))
+    etas, hetas, stats = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, grid * bpb), jnp.float32),
+            jax.ShapeDtypeStruct((n, grid * bpb), jnp.float32),
+            jax.ShapeDtypeStruct((2, grid * bpb), jnp.int32),
+        ),
+        in_specs=[
+            row_blk,  # radius
+            row_blk,  # target
+            row_blk,  # linear flag
+            row_blk,  # d
+            pl.BlockSpec((n, n), lambda i: (0, 0)),  # Z: constant window
+            col_blk,  # x
+            col_blk,  # w
+            pl.BlockSpec((1, p, bpb), lambda i: (i, 0, 0)),  # s rows
+            col_blk,  # grad
+        ],
+        out_specs=(col_blk, col_blk, pl.BlockSpec((2, bpb), lambda i: (0, i))),
+        compiler_params=_BATCHED_COMPILER_PARAMS,
+    )(
+        scalar_row(radii_p),  # already padded to bt
+        scalar_row(pad_b(target)),
+        scalar_row(pad_b(linear_flag)),
+        d_row,
+        zs.astype(jnp.float32),
+        x_f, w_f, s_rows, g_f,
+    )
+
+    def unpack(a):  # [n, grid*p*bb] -> [b, n, p]
+        return jnp.transpose(
+            a.reshape(n, grid, p, bb), (1, 3, 0, 2)
+        ).reshape(bt, n, p)[:b]
+
+    stats_l = stats.reshape(2, grid, p, bb)[:, :, 0, :].reshape(2, bt)
+    return unpack(etas), unpack(hetas), stats_l[0][:b], stats_l[1][:b]
+
+
 def _stiefel_bound_pieces(zs, d, x, y, c):
     """W (barrier weights) and S (Lagrangian curvature block) at (x, y)."""
     n, p = x.shape
@@ -1137,9 +1389,15 @@ def tcg_stiefel_bound(maxinner, mininner=1, theta=1.0, kappa=0.1):
             ws, ss = jax.vmap(
                 lambda xi, yi, ci: _stiefel_bound_pieces(zs, d, xi, yi, ci)
             )(xs, ys, cs)
-            out = pallas_tcg_stiefel_bound_batched(
-                zs, d, xs, ws, ss, gs, radii, **kw
+            # p-major interleaved kernel for small frames (p^2 unrolled
+            # slice ops in-kernel): removes the masked [Bp, Bp] MXU
+            # contractions that dominated the lane-major kernel; falls
+            # back to lane-major for wide frames.
+            batched = (
+                pallas_tcg_stiefel_bound_batched_pmajor
+                if p <= 16 else pallas_tcg_stiefel_bound_batched
             )
+            out = batched(zs, d, xs, ws, ss, gs, radii, **kw)
         return out, (True, True, True, True)
 
     return tcg

@@ -398,3 +398,61 @@ def test_stiefel_solve_pallas_matches_xla():
     np.testing.assert_allclose(
         np.asarray(st_p.x), np.asarray(st_x.x), atol=5e-3
     )
+
+
+def test_stiefel_tcg_pmajor_matches_lane_major(stiefel_setup):
+    """The p-major interleaved kernel (round-5 restructure: per-lane
+    contractions as contiguous [n, bb] VPU slices instead of masked
+    [Bp, Bp] MXU matmuls) must reproduce the lane-major kernel lane for
+    lane, including with a multi-block grid and edge padding."""
+    from riptrm_tpu.ops import pallas_kernels as pk
+    from riptrm_tpu.problems import bounded_pca
+
+    problem, _ = stiefel_setup
+    man = problem.manifold
+    n, p = man.n, man.p
+    m = problem.num_ineq
+    B = 5
+    xs = jnp.stack([
+        jnp.asarray(
+            bounded_pca.generate_initialpoint(jax.random.PRNGKey(50 + i), n, p),
+            jnp.float32,
+        )
+        for i in range(B)
+    ])
+    ys = 0.5 + jnp.abs(
+        jax.random.normal(jax.random.PRNGKey(51), (B, m), dtype=jnp.float32)
+    )
+    cs = jax.vmap(problem.slack)(xs)
+    grads = []
+    mu = jnp.float32(0.05)
+    for i in range(B):
+        _, _, cx = _barrier_ops(problem, xs[i], ys[i], mu)
+        grads.append(cx)
+    grads = jnp.stack(grads)
+    ws, ss = jax.vmap(
+        lambda x, y, c: pk._stiefel_bound_pieces(
+            problem.structure["Zs"], problem.structure["d"], x, y, c
+        )
+    )(xs, ys, cs)
+    radii = jnp.linspace(0.2, 0.6, B).astype(jnp.float32)
+
+    with _interp():
+        ref = pk.pallas_tcg_stiefel_bound_batched(
+            problem.structure["Zs"], problem.structure["d"], xs, ws, ss,
+            grads, radii, maxinner=man.dim,
+        )
+    for lane_block in (None, 2):  # whole batch + multi-block w/ padding
+        with _interp():
+            out = pk.pallas_tcg_stiefel_bound_batched_pmajor(
+                problem.structure["Zs"], problem.structure["d"], xs, ws, ss,
+                grads, radii, maxinner=man.dim, lane_block=lane_block,
+            )
+        assert (np.asarray(out[2]) == np.asarray(ref[2])).all(), lane_block
+        assert (np.asarray(out[3]) == np.asarray(ref[3])).all(), lane_block
+        np.testing.assert_allclose(
+            np.asarray(out[0]), np.asarray(ref[0]), atol=1e-5, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[1]), np.asarray(ref[1]), atol=1e-4, rtol=1e-3
+        )
