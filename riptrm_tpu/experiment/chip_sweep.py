@@ -426,7 +426,7 @@ def main(argv=None):
              "reference-exact clamp")
     parser.add_argument(
         "--rsqo-linear-solver", default="schulz",
-        choices=["chol", "lu", "schulz"],
+        choices=["chol", "lu", "schulz", "schulz_polish"],
         help="RSQO QP Newton-system solve.  'schulz' (default here — the "
              "measured round-4 batched winner: factorization-free "
              "Newton-Schulz inverse maintenance, pure batched matmuls; "

@@ -138,8 +138,9 @@ def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
         re = A @ x - b
         return rd, rp, re
 
+    use_polish = method == "schulz_polish"
     use_lu = method == "lu"
-    use_schulz = method == "schulz"
+    use_schulz = method == "schulz" or use_polish
     if use_schulz and l > 0:
         raise ValueError(
             "method='schulz' supports inequality-only QPs (A must be empty);"
@@ -197,7 +198,7 @@ def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
         )
         return X2, e2
 
-    def kkt_factor(s, z):
+    def kkt_factor(s, z, use_lu=use_lu):
         """Factor the condensed Newton system once per IPM iteration.
 
         chol: M = Q + G^T diag(z/s) G is SPD (Q PD, the barrier term PSD);
@@ -224,22 +225,24 @@ def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
             cs = None
         return cf, minv_at, cs
 
-    def kkt_solve(fact, s, z, rd, rp, re, rc):
+    def kkt_solve(fact, s, z, rd, rp, re, rc, kind=None):
         """Back-substitute one rhs through the shared factorization:
 
         [Q + G^T W G,  A^T] [dx]   [-rd - G^T ((z*rp - rc)/s)]
         [A,            0  ] [dy] = [-re]
         with W = diag(z/s); recover ds, dz elementwise.
         """
+        if kind is None:
+            kind = "schulz" if use_schulz else ("lu" if use_lu else "chol")
         cf, minv_at, cs = fact
         rhs_x = -rd - G.T @ ((z * rp - rc) / s)
-        if use_schulz:
+        if kind == "schulz":
             X, M = cf, minv_at
             dx = X @ rhs_x
             dx = dx + X @ (rhs_x - M @ dx)
             dx = dx + X @ (rhs_x - M @ dx)
             dy = jnp.zeros((0,), dtype=dtype)
-        elif use_lu:
+        elif kind == "lu":
             if l > 0:
                 sol = jax.scipy.linalg.lu_solve(
                     cf, jnp.concatenate([rhs_x, -re])
@@ -288,20 +291,22 @@ def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
             (gap <= abstol) | rel_ok
         )
 
-    def body(st):
+    def make_body(kind):
+      def body(st):
         x, s, z, y = st.x, st.s, st.z, st.y
         rd, rp, re = residuals(x, s, z, y)
         mu = jnp.vdot(s, z) / max(m, 1)  # m == 0: equality-only QP, mu := 0
-        if use_schulz:
+        if kind == "schulz":
             M = build_m(s, z)
             Xr, schulz_err = schulz_refresh(st.X, M)
             fact = (Xr, M, None)
         else:
-            fact = kkt_factor(s, z)
+            fact = kkt_factor(s, z, use_lu=kind == "lu")
 
         # affine (predictor) step
         rc_aff = z * s
-        dx_a, ds_a, dz_a, dy_a = kkt_solve(fact, s, z, rd, rp, re, rc_aff)
+        dx_a, ds_a, dz_a, dy_a = kkt_solve(fact, s, z, rd, rp, re, rc_aff,
+                                           kind=kind)
         alpha_p = max_step(s, ds_a)
         alpha_d = max_step(z, dz_a)
         alpha_a = jnp.minimum(alpha_p, alpha_d)
@@ -310,7 +315,7 @@ def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
 
         # corrector step (same factorization, new rhs)
         rc = z * s + ds_a * dz_a - sigma * mu
-        dx, ds, dz, dy = kkt_solve(fact, s, z, rd, rp, re, rc)
+        dx, ds, dz, dy = kkt_solve(fact, s, z, rd, rp, re, rc, kind=kind)
         alpha = jnp.minimum(max_step(s, ds), max_step(z, dz))
 
         x_n = x + alpha * dx
@@ -330,7 +335,7 @@ def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
             & jnp.all(jnp.isfinite(z_n))
             & jnp.all(jnp.isfinite(y_n))
         )
-        if use_schulz:
+        if kind == "schulz":
             # A Schulz refresh that exhausted its budget above the usable
             # threshold (even after the identity reset) means the
             # direction carries O(err^3) > few-% relative error: freeze
@@ -341,7 +346,7 @@ def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
         keep = lambda new, old: jnp.where(ok, new, old)
         x, s, z, y = keep(x_n, x), keep(s_n, s), keep(z_n, z), keep(y_n, y)
         stalled = st.stalled | ~ok
-        if use_schulz:
+        if kind == "schulz":
             X_new = jnp.where(ok, Xr, st.X)
             Xf_new = jnp.where((st.k == 0) & ok, X_new, st.Xf)
         else:
@@ -350,6 +355,12 @@ def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
             x, s, z, y, st.k + 1, converged(x, s, z, y) | ~ok, stalled,
             X_new, Xf_new,
         )
+
+      return body
+
+    body = make_body(
+        "schulz" if use_schulz else ("lu" if use_lu else "chol")
+    )
 
     def cond(st):
         return (~st.done) & (st.k < maxiter)
@@ -383,6 +394,30 @@ def solve_qp(Q, p, G, h, A=None, b=None, *, abstol=1e-10, reltol=1e-10,
             X_init, Xf_init,
         ),
     )
+    if use_polish:
+        # 'schulz_polish' (VERDICT r4 item 8): the schulz loop floors at
+        # O(err^3) ~ 1e-6-relative direction error — measured 3.3e-7 KKT
+        # floor vs the 3.3e-15 deep-parity targets.  Polish with up to 3
+        # EXACT partial-pivot-LU IPM iterations from the schulz endpoint:
+        # near-schulz cost per QP (2-3 factorizations vs the 'lu' path's
+        # 10-30), last-digit-accurate directions where it matters.  A
+        # genuinely converged or NaN-frozen lane skips the polish via its
+        # recomputed done flag.
+        k_end = st.k
+        # stalled lanes RESUME here: the schulz freeze (status 2) fires
+        # exactly when the inverse degraded past usability — the LU
+        # factorization has no such limit and continues from the frozen
+        # (finite) iterate
+        st = st._replace(
+            done=converged(st.x, st.s, st.z, st.y),
+            stalled=jnp.asarray(False),
+        )
+        polish_body = make_body("lu")
+
+        def polish_cond(s2):
+            return (~s2.done) & (s2.k < k_end + 3)
+
+        st = jax.lax.while_loop(polish_cond, polish_body, st)
     rd, rp, re = residuals(st.x, st.s, st.z, st.y)
     return QpResult(
         x=st.x,

@@ -362,7 +362,7 @@ def init_state(problem, option):
     # from the scaled identity on the first QP).
     qp_xinv = (
         jnp.zeros((problem.manifold.dim, problem.manifold.dim), dtype=dtype)
-        if option.get("quadoptim_linear_solver") == "schulz"
+        if option.get("quadoptim_linear_solver") in ("schulz", "schulz_polish")
         else None
     )
     return RsqoState(

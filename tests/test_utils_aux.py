@@ -257,3 +257,32 @@ class TestWandbHooks:
         assert calls["log"] == [{"residual": 0.5}]
         base.maybe_wandb_finish(option)
         assert calls["finish"] >= 1
+
+
+def test_schulz_polish_reaches_lu_accuracy():
+    """'schulz_polish' (VERDICT r4 item 8): up to 3 exact-LU IPM polish
+    iterations from the schulz endpoint must close the O(err^3) schulz
+    floor toward the 'lu' solution at near-schulz cost."""
+    n, m = 30, 40
+    rng = np.random.default_rng(11)
+    L = rng.normal(size=(n, n))
+    Q = jnp.asarray(L @ L.T + 0.1 * np.eye(n))
+    p = jnp.asarray(rng.normal(size=n))
+    G = jnp.asarray(rng.normal(size=(m, n)))
+    h = jnp.asarray(np.abs(rng.normal(size=m)) + 0.1)
+    kw = dict(abstol=1e-12, reltol=1e-12, feastol=1e-12)
+    s_lu = solve_qp(Q, p, G, h, method="lu", **kw)
+    s_s = solve_qp(Q, p, G, h, method="schulz", **kw)
+    s_p = solve_qp(Q, p, G, h, method="schulz_polish", **kw)
+    ref = np.asarray(s_lu.x)
+    err_s = np.linalg.norm(np.asarray(s_s.x) - ref)
+    err_p = np.linalg.norm(np.asarray(s_p.x) - ref)
+    # polish must not be worse than plain schulz, and must reach the lu
+    # solution to deep tolerance
+    assert err_p <= err_s * (1 + 1e-9)
+    assert err_p < 1e-8, (err_s, err_p)
+    # the polish costs at most 3 extra iterations over the schulz loop
+    assert int(s_p.iterations) <= int(s_s.iterations) + 3
+    # xinv warm-start carry still works through the polished variant
+    s_p2 = solve_qp(Q, p, G, h, method="schulz_polish", xinv0=s_p.xinv, **kw)
+    assert np.isfinite(np.asarray(s_p2.x)).all()
