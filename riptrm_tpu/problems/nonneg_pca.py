@@ -27,11 +27,24 @@ def make_problem(Z, x0, y0=None, dtype=None, matmul_precision=None) -> Problem:
     the TPU MXU for batched lanes); 'highest' forces full-f32 matmuls —
     needed when f32 batched sweeps must reach tight KKT tolerances
     (see BENCH.md precision notes)."""
+    # TP axis: a caller that device_put Z with a NamedSharding (e.g. the
+    # dryrun's P("tp", None) row sharding) gets the sharding RE-PINNED
+    # IN-GRAPH below — jax.jit does NOT honor committed shardings of
+    # closure-captured constants (it folds them into a single-device
+    # program; measured round 5 on the StableIdentification data axis),
+    # so without the pin the "sharded" matvec never partitions.
+    zs_sharding = None
+    sh = getattr(Z, "sharding", None)
+    if sh is not None and getattr(sh, "mesh", None) is not None:
+        if not sh.is_fully_replicated:
+            zs_sharding = sh
     Z = jnp.asarray(Z, dtype=dtype)
     # -x'Zx == -x'(Z+Z')x/2 exactly; symmetrizing once at build time halves
     # the HVP memory traffic (one matvec per Hessian application instead of
     # Z@dx plus Z'@dx through AD) — the hot op of the tCG loop.
     Zs = 0.5 * (Z + Z.T)
+    if zs_sharding is not None:
+        Zs = jax.device_put(Zs, zs_sharding)
     x0 = jnp.asarray(x0, dtype=dtype)
     n = Z.shape[0]
     man = Sphere(n)
@@ -40,11 +53,17 @@ def make_problem(Z, x0, y0=None, dtype=None, matmul_precision=None) -> Problem:
     else:
         y0 = jnp.asarray(y0, dtype=x0.dtype)
 
+    def _zs():
+        if zs_sharding is None:
+            return Zs
+        return jax.lax.with_sharding_constraint(Zs, zs_sharding)
+
     def cost(x):
+        zp = _zs()
         if matmul_precision is not None:
             with jax.default_matmul_precision(matmul_precision):
-                return -(x @ (Zs @ x))
-        return -(x @ (Zs @ x))
+                return -(x @ (zp @ x))
+        return -(x @ (zp @ x))
 
     def ineq(x):
         return -x  # feasible: x >= 0
