@@ -121,6 +121,14 @@ def build_sweep(problem_name: str, size: int, batch: int, seed: int = 0,
     return _build_from_payload(problem_name, size, batch, payload)
 
 
+def _rosenbrock_k(n: int) -> int:
+    """Grassmann frame width: the reference ships k=3 at its small n
+    (``Rosenbrock/coordinator.py:33-71``); the scaled-up chip instances
+    (n >= 256, VERDICT r4 item 6) use k=8 so the QR/polar retraction and
+    the [n, k] tangent algebra carry MXU-relevant width."""
+    return 8 if n >= 256 else min(3, n - 1)
+
+
 def _generate_payload(problem_name: str, size: int, batch: int, seed: int):
     """Host-side generation -> flat dict of numpy arrays (the cacheable
     part).  Batch-stacked keys carry the ``b_`` prefix (axis 0 = lane)."""
@@ -191,7 +199,7 @@ def _generate_payload(problem_name: str, size: int, batch: int, seed: int):
                 "Rosenbrock needs --size >= 2 (Grassmann(n, k) with k < n "
                 "has dimension k*(n-k) = 0 otherwise)"
             )
-        k = min(3, n - 1)
+        k = _rosenbrock_k(n)
         problem = rosenbrock.make_problem(n, k, dtype=jnp.float32)
         # The reference's Rosenbrock start is the single deterministic
         # |I[:, :k]| (coordinator.py:78-84); the sweep batches small
@@ -294,7 +302,7 @@ def _build_from_payload(problem_name: str, size: int, batch: int, payload):
         from riptrm_tpu.problems import rosenbrock
 
         n = size
-        k = min(3, n - 1)
+        k = _rosenbrock_k(n)
         problem = rosenbrock.make_problem(n, k, dtype=jnp.float32)
         xs0 = jnp.asarray(payload["b_xs0"], jnp.float32)
         ys0 = jnp.ones((batch, problem.num_ineq), jnp.float32)

@@ -26,7 +26,25 @@ def main():
     parser.add_argument("--size", type=int, default=32)
     parser.add_argument("--segments", type=int, default=8)
     parser.add_argument("--segment-steps", type=int, default=75)
+    parser.add_argument("--option", action="append", default=[],
+                        metavar="KEY=VALUE",
+                        help="extra RIPM option override (e.g. "
+                             "KrylovPreconditioner=jacobi_theta)")
     args = parser.parse_args()
+    option_overrides = {}
+    for kv in args.option:
+        k, _, v = kv.partition("=")
+        lv = v.lower()
+        if lv in ("true", "false"):
+            option_overrides[k] = lv == "true"
+        else:
+            try:
+                option_overrides[k] = int(v)
+            except ValueError:
+                try:
+                    option_overrides[k] = float(v)
+                except ValueError:
+                    option_overrides[k] = v
 
     import jax
 
@@ -52,6 +70,7 @@ def main():
         "KrylovIterMethod": True,
         "KrylovMaxIteration": 150,
     }
+    option.update(option_overrides)
     solve, start, resid_args = _solver_plumbing(
         problem, "RIPM", option, args.segment_steps
     )
@@ -70,18 +89,23 @@ def main():
 
     t1 = time.time()
     seg_rows = []
+    best = None
     for i in range(args.segments):
         st, k, res = retry_transient(
             lambda: jax.tree.map(np.asarray, segment(st, extras)),
             label=f"ripm_segment_{i}",
         )
         st = jax.tree.map(jnp.asarray, st)
+        res_clean = np.where(np.isnan(res), np.inf, res)
+        best = res_clean if best is None else np.minimum(best, res_clean)
         row = {
             "segment": i,
             "steps": (i + 1) * args.segment_steps,
             "median_residual": float(np.median(res)),
             "min_residual": float(np.min(res)),
             "max_residual": float(np.max(res)),
+            "best_median": float(np.median(best)),
+            "best_min": float(np.min(best)),
             "t": round(time.time() - t1, 1),
         }
         seg_rows.append(row)
@@ -92,11 +116,14 @@ def main():
         "size": args.size,
         "batch": args.batch,
         "solver": "RIPM",
+        "option_overrides": {k: str(v) for k, v in option_overrides.items()},
         "mode": "krylov_segmented",
         "total_steps": args.segments * args.segment_steps,
         "median_residual": seg_rows[-1]["median_residual"],
         "min_residual": seg_rows[-1]["min_residual"],
         "max_residual": seg_rows[-1]["max_residual"],
+        "best_median": seg_rows[-1]["best_median"],
+        "best_min": seg_rows[-1]["best_min"],
         "solves_per_sec": round(args.batch / run_s, 3),
         "run_s": round(run_s, 1),
         "gen_s": round(gen_s, 1),
