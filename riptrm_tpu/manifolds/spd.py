@@ -88,3 +88,20 @@ class SymmetricPositiveDefinite(Manifold):
         l = jnp.linalg.cholesky(x)
         s = _sym_basis(self.d, dtype=x.dtype)  # [dim, d, d]
         return jnp.einsum("ab,kbc,dc->kad", l, s, l)
+
+    def to_coords(self, x, basis, u):
+        """Closed form: with basis_k = L S_k L^T (S_k Frobenius-orthonormal
+        symmetric, L = chol(x)), the affine-invariant coordinates are
+        c_k = tr(x^{-1} (L S_k L^T) x^{-1} u) = <S_k, L^{-1} u L^{-T}>_F —
+        TWO triangular solves total instead of the generic path's ``dim``
+        vmapped metric inners (each a pair of cho_solves; the vmapped
+        batched triangular solve is column-sequential on TPU and dominated
+        the Jacobi-preconditioned CR iteration)."""
+        x = jnp.asarray(x)
+        l = jnp.linalg.cholesky(x)
+        a = solve_triangular(l, u, lower=True)
+        a = solve_triangular(l, a.T, lower=True)  # L^{-1} u L^{-T}
+        s = _sym_basis(self.d, dtype=x.dtype)
+        return jnp.tensordot(
+            s.reshape(s.shape[0], -1), a.reshape(-1), axes=1
+        )

@@ -195,3 +195,30 @@ def test_typical_dists():
     prod = Product([SkewSymmetric(5), SymmetricPositiveDefinite(5), SymmetricPositiveDefinite(5)])
     assert prod.dim == 10 + 15 + 15
     assert prod.typical_dist == pytest.approx(np.sqrt(10 + 15 + 15))
+
+
+def test_spd_to_coords_closed_form_matches_generic():
+    """SPD's closed-form to_coords (round 5: two triangular solves) must
+    equal the generic vmapped-metric-inner path to machine precision."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from riptrm_tpu.manifolds import SymmetricPositiveDefinite
+    from riptrm_tpu.manifolds.base import Manifold
+
+    d = 6
+    man = SymmetricPositiveDefinite(d)
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=(d, d))
+    x = jnp.asarray(a @ a.T + d * np.eye(d))
+    u = jnp.asarray(rng.normal(size=(d, d)))
+    u = 0.5 * (u + u.T)
+    basis = man.basis(x)
+    c_fast = man.to_coords(x, basis, u)
+    c_ref = Manifold.to_coords(man, x, basis, u)  # generic vmapped inners
+    np.testing.assert_allclose(np.asarray(c_fast), np.asarray(c_ref),
+                               rtol=1e-10, atol=1e-12)
+    # roundtrip: from_coords(to_coords(u)) == u for tangent (symmetric) u
+    u2 = man.from_coords(x, basis, c_fast)
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u),
+                               rtol=1e-9, atol=1e-11)
