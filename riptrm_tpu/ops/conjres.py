@@ -81,13 +81,13 @@ def conjugate_residual(inner, A, b, v0, *, tol, maxiter, stop_norm=None):
             v=v, r=r, p=p, Ar=Ar, Ap=Ap, rAr=rAr_new, rel_res=rel_res,
             t=st.t + 1, done=done,
         )
-        # Freeze a finished lane: under vmap the while_loop runs all lanes
-        # in lockstep until every cond is false, so WITHOUT the freeze a
-        # lane that converged early keeps taking CR updates on a ~zero
-        # residual (alpha = rAr/ApAp on noise) and destroys its own
-        # solution — measured: a vmapped preconditioned RIPM lane stuck at
-        # best 3.34 while the identical single-lane host loop reached
-        # 0.19 in 60 steps.
+        # Explicit freeze of a finished lane.  NOTE: JAX's while_loop
+        # batching rule already masks body outputs per-lane (verified
+        # round 5: adding this changed no vmapped result), so this is
+        # defensive documentation of the required semantics — a lane that
+        # converged must not keep taking CR updates on a ~zero residual
+        # (alpha = rAr/ApAp on noise) under lockstep execution contexts
+        # without that rule.
         return jax.tree.map(
             lambda n, o: jnp.where(st.done, o, n), new, st
         )

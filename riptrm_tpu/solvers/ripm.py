@@ -338,13 +338,14 @@ def make_step(problem, option):
             w2, f2, phi2 = trial(new_stepsize)
             ok2 = ls_ok(new_stepsize, w2[2], w2[3], phi2)
             new = (new_stepsize, w2, f2, phi2, r + 1, ok2)
-            # Freeze a lane whose line search already succeeded: under
-            # vmap the while_loop runs all lanes in lockstep until EVERY
-            # cond is false, and without the freeze a sibling lane's
-            # backtracking kept halving an already-accepted lane's step
-            # (measured: lane converging to 3.6e-3 at B=1 stalled at 3.34
-            # at B=2 — the r4 d=32 "0.436 floor" was measured under this
-            # drag).
+            # Explicit freeze of a lane whose line search already
+            # succeeded.  NOTE: JAX's while_loop BATCHING RULE already
+            # masks body outputs per-lane (measured round 5: adding this
+            # freeze changed no vmapped result bit-for-bit), so this is
+            # defensive documentation of the required semantics, not a
+            # behavior change — it also keeps the loop correct under
+            # lockstep execution contexts without that rule (e.g. a
+            # future shard_map/pallas port of the step).
             return jax.tree.map(
                 lambda n, o: jnp.where(ok, o, n), new, carry
             )
