@@ -30,6 +30,12 @@ def main():
                         metavar="KEY=VALUE",
                         help="extra RIPM option override (e.g. "
                              "KrylovPreconditioner=jacobi_theta)")
+    parser.add_argument("--staged-at", type=int, default=None,
+                        help="segment index at which to REBUILD the "
+                             "problem with matmul_precision='highest' and "
+                             "continue the same states (staged-precision "
+                             "RIPM, VERDICT r4 item 3) — host-side "
+                             "continuation, merit scalars refreshed")
     args = parser.parse_args()
     option_overrides = {}
     for kv in args.option:
@@ -62,6 +68,19 @@ def main():
     problem, xs0, ys0 = build_sweep(
         "StableIdentification", args.size, args.batch
     )
+    problem_hi = None
+    if args.staged_at is not None:
+        from riptrm_tpu.experiment.chip_sweep import _cache_load
+        from riptrm_tpu.problems import stable_identification as si
+
+        payload = _cache_load("StableIdentification", args.size,
+                              args.batch, 0)
+        starts = (payload["b_J"], payload["b_R"], payload["b_Q"])
+        problem_hi = si.make_problem(
+            args.size, list(payload["trajs"]), payload["constset"],
+            tuple(a[0] for a in starts), dtype=jnp.float32,
+            matmul_precision="highest",
+        )
     gen_s = time.time() - t0
 
     option = {
@@ -71,26 +90,55 @@ def main():
         "KrylovMaxIteration": 150,
     }
     option.update(option_overrides)
-    solve, start, resid_args = _solver_plumbing(
-        problem, "RIPM", option, args.segment_steps
-    )
+    def make_segment(prob):
+        solve, start, resid_args = _solver_plumbing(
+            prob, "RIPM", option, args.segment_steps
+        )
+
+        @jax.jit
+        def segment(st, extras):
+            st, k, _ = jax.vmap(
+                lambda s, *e: solve(s, *e, -jnp.inf)
+            )(st, *extras)
+            x, ineq, eq = jax.vmap(resid_args)(st)
+            res = jax.vmap(
+                lambda x_, i_, e_: compute_residual(prob, x_, i_, e_)[0]
+            )(x, ineq, eq)
+            return st, k, res
+
+        return segment, start
+
+    segment, start = make_segment(problem)
     st, extras = jax.vmap(start)(xs0, ys0)
 
-    @jax.jit
-    def segment(st, extras):
-        st, k, _ = jax.vmap(
-            lambda s, *e: solve(s, *e, -jnp.inf)
-        )(st, *extras)
-        x, ineq, eq = jax.vmap(resid_args)(st)
-        res = jax.vmap(
-            lambda x_, i_, e_: compute_residual(problem, x_, i_, e_)[0]
-        )(x, ineq, eq)
-        return st, k, res
+    def refresh_merit(prob, st):
+        """Recompute phi/sigma/rho (and tau extras) under the new
+        program's precision — mirrors batched_ripm_continue."""
+        from riptrm_tpu.solvers import ripm as ripm_mod
+
+        m = prob.num_ineq
+
+        def one(stl):
+            f = ripm_mod._kkt_field(prob, stl.x, stl.y, stl.z, stl.s)
+            phi = ripm_mod._phi(prob, stl.x, *f)
+            stl = stl._replace(
+                phi=phi, sigma=jnp.minimum(0.5, phi**0.25),
+                rho=jnp.vdot(stl.z, stl.s) / m,
+            )
+            t1 = jnp.min(stl.z * stl.s) * m / jnp.vdot(stl.z, stl.s)
+            t2 = jnp.vdot(stl.z, stl.s) / jnp.sqrt(phi)
+            return stl, t1, t2
+
+        return jax.jit(jax.vmap(one))(st)
 
     t1 = time.time()
     seg_rows = []
     best = None
     for i in range(args.segments):
+        if args.staged_at is not None and i == args.staged_at:
+            segment, _ = make_segment(problem_hi)
+            st, t1s, t2s = refresh_merit(problem_hi, st)
+            extras = (t1s, t2s)
         st, k, res = retry_transient(
             lambda: jax.tree.map(np.asarray, segment(st, extras)),
             label=f"ripm_segment_{i}",
