@@ -269,16 +269,47 @@ def generate_true_system(key, d: int, scaling: float = 1.0):
     return np.asarray(J), np.asarray(R), np.asarray(Q), np.asarray(A)
 
 
-def generate_constraints(rng, d: int, true_A, oneboxratio: float, twoboxratio: float):
+def generate_constraints(rng, d: int, true_A, oneboxratio: float,
+                         twoboxratio: float, min_segment_width=None,
+                         max_redraws: int = 50):
     """``generate_constraints`` (generator.py:68-113).  Uses numpy RNG on the
-    host — dataset generation is not a hot path."""
+    host — dataset generation is not a hot path.
+
+    ``min_segment_width`` (extension; round-5 d=32 finding): every
+    constraint width scales with |true_A[r, c]|, so a near-zero true-A
+    entry gets a RAZOR-thin box (measured d=32: onebox width down to
+    1.9e-3 against a median 0.87, a 2,324x spread across entries) whose
+    barrier conditioning (~1e12) floors every solver near the corridor
+    width (BENCH.md round-5: the 3.6e-3 x64 floor ~ 2x the tightest
+    corridor).  Setting a floor (a) only constrains entries with
+    |true_A[r, c]| >= 2.5 * min_segment_width (a onebox width is at
+    least 0.4|a|), and (b) redraws twobox parameters until the widest
+    remaining segment clears the floor — a documented well-margined
+    VARIANT, NOT the reference generator (which never filters,
+    ``generator.py:68-113``)."""
     true_A = np.asarray(true_A)
     num_element = true_A.size
     num_onebox = int(num_element * oneboxratio)
     num_twobox = int(num_element * twoboxratio)
     num_const = num_onebox + num_twobox
-    constindices = rng.permutation(num_element)[:num_const]
+    perm = rng.permutation(num_element)
+    if min_segment_width is not None:
+        flat_abs = np.abs(true_A.T.reshape(-1))  # index i -> (i % d, i // d)
+        perm = perm[flat_abs[perm] >= 2.5 * min_segment_width]
+        if len(perm) < num_const:
+            raise ValueError(
+                f"min_segment_width={min_segment_width}: only {len(perm)} "
+                f"of {num_element} entries have |A| >= "
+                f"{2.5 * min_segment_width:.3g}; need {num_const}"
+            )
+    constindices = perm[:num_const]
     rowcol = np.stack([constindices % d, constindices // d], axis=1)
+
+    def _twobox_width(ls, rs, cc, k):
+        """Widest feasible segment of [ls, rs] minus the |a-cc| < |k| hole."""
+        half = abs(k)
+        segs = [(ls, min(rs, cc - half)), (max(ls, cc + half), rs)]
+        return max((b - a for a, b in segs if b > a), default=0.0)
 
     constset = []
     for i in range(num_onebox):
@@ -292,10 +323,16 @@ def generate_constraints(rng, d: int, true_A, oneboxratio: float, twoboxratio: f
         r, c = rowcol[i]
         aval = true_A[r, c]
         absa = abs(aval)
-        cc = rng.uniform(0.2, 0.8) * aval
-        k = cc + rng.uniform(0.2, 0.8) * (aval - cc)
-        ls = -absa - rng.uniform(0.2, 0.8) * absa
-        rs = absa + rng.uniform(0.2, 0.8) * absa
+        for _ in range(max_redraws if min_segment_width else 1):
+            cc = rng.uniform(0.2, 0.8) * aval
+            k = cc + rng.uniform(0.2, 0.8) * (aval - cc)
+            ls = -absa - rng.uniform(0.2, 0.8) * absa
+            rs = absa + rng.uniform(0.2, 0.8) * absa
+            if (
+                min_segment_width is None
+                or _twobox_width(ls, rs, cc, k) >= min_segment_width
+            ):
+                break
         constset.append([1, r, c, ls, rs, aval])
         constset.append([2, r, c, cc, k, aval])
     return np.asarray(constset)

@@ -182,3 +182,45 @@ def test_stable_interior_initialpoint_lsq():
     assert np.all(np.real(np.linalg.eigvals(A)) < 0)
     np.testing.assert_allclose(J, -J.T, atol=1e-9)
     assert np.min(np.linalg.eigvalsh(R)) > 0 and np.min(np.linalg.eigvalsh(Q)) > 0
+
+
+def test_generate_constraints_min_segment_width():
+    """The well-margined generator variant (round-5 d=32 finding): every
+    constrained entry's widest feasible segment clears the floor."""
+    import numpy as np
+    from riptrm_tpu.problems import stable_identification as si
+
+    rng = np.random.default_rng(0)
+    key = __import__("jax").random.PRNGKey(0)
+    _, _, _, true_a = si.generate_true_system(key, 8)
+    floor = 0.05
+    constset = si.generate_constraints(
+        rng, 8, true_a, 0.2, 0.1, min_segment_width=floor
+    )
+    # recompute per-entry widest segments (same construction as
+    # feasible_entry_targets)
+    kinds, rows, cols, p1s, p2s = si.parse_constset(constset, 1.0)
+    entries = {}
+    for kind, r, c, p1, p2 in zip(kinds, rows, cols, p1s, p2s):
+        e = entries.setdefault((int(r), int(c)),
+                               {"lo": -np.inf, "hi": np.inf, "holes": []})
+        if kind == si.KIND_LS:
+            e["lo"] = max(e["lo"], float(p1))
+        elif kind == si.KIND_RS:
+            e["hi"] = min(e["hi"], float(p2))
+        else:
+            half = abs(float(p2))
+            e["holes"].append((float(p1) - half, float(p1) + half))
+    for (r, c), e in entries.items():
+        segs = [(e["lo"], e["hi"])]
+        for a, b in e["holes"]:
+            segs = [s for seg in segs
+                    for s in ((seg[0], min(seg[1], a)),
+                              (max(seg[0], b), seg[1]))]
+        w = max((s[1] - s[0] for s in segs if s[1] > s[0]), default=0.0)
+        assert w >= floor, ((r, c), w)
+    # reference-faithful default path unchanged (no filtering arg)
+    cs_ref = si.generate_constraints(
+        np.random.default_rng(0), 8, true_a, 0.2, 0.1
+    )
+    assert cs_ref.shape[1] == 6
