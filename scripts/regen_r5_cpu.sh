@@ -28,19 +28,9 @@ timeout 1200 python -m riptrm_tpu.experiment.sid_sharded_ratio \
   --d 8 --virtual-devices 8 2>>$OUT.log | grep -v cpu_aot | tail -1 >> $OUT
 echo DONE >> $OUT
 
-# 2. schulz_polish deep-parity protocol (VERDICT item 8)
-guard
-timeout 5400 python -m riptrm_tpu.experiment.protocol_speedrun \
-  --problems StableIdentification --solvers RSQO \
-  --option quadoptim_linear_solver=schulz_polish \
-  --option quadoptim_warm_start=false \
-  --out result/protocol_rsqo_schulz_polish.json \
-  > result/protocol_rsqo_schulz_polish.log 2>&1
-
-# 3. d=32 CPU/x64 deep arms (VERDICT item 2), trimmed to the budgets the
-#    BENCH.md narrative actually used (ripm_p truncated at 600 steps,
-#    riptrm at 2,400 inner steps); the headline plain-RIPM arm runs the
-#    full 2,000 Newton steps.  Per-segment JSONL -> partial evidence OK.
+# 2. d=32 CPU/x64 deep plain-RIPM arm (VERDICT item 2 headline: 4/8
+#    lanes to 3.6e-3-5.7e-3 over 2,000 Newton steps).  Per-segment
+#    JSONL -> a truncated run still lands partial evidence.
 OUT=result/sid32_cpu_deep.jsonl
 : > $OUT
 echo "# start $(date -Is)" >> $OUT
@@ -49,6 +39,19 @@ timeout 10800 python scripts/sid32_cpu_deep.py --arm ripm \
   --segments 40 --segment-steps 50 --krylov-iters 400 \
   2>>$OUT.log >> $OUT
 echo "# ripm done $(date -Is)" >> $OUT
+
+# 3. schulz_polish deep-parity protocol (VERDICT item 8)
+guard
+timeout 5400 python -m riptrm_tpu.experiment.protocol_speedrun \
+  --problems StableIdentification --solvers RSQO \
+  --option quadoptim_linear_solver=schulz_polish \
+  --option quadoptim_warm_start=false \
+  --out result/protocol_rsqo_schulz_polish.json \
+  > result/protocol_rsqo_schulz_polish.log 2>&1
+
+# 4. remaining deep arms, trimmed to the budgets the BENCH.md narrative
+#    actually used (ripm_p truncated at 600 steps, riptrm at 2,400
+#    inner steps).
 guard
 timeout 5400 python scripts/sid32_cpu_deep.py --arm ripm_p \
   --segments 12 --segment-steps 50 --krylov-iters 400 \
